@@ -1,0 +1,116 @@
+"""Material table — SoA analog of MeshMaterial (src/mesh/MeshView.h:55-90).
+
+The reference stores one AoS MeshMaterial per slot {diffuse, diffuse_trans,
+ambient, specular, emissive, reflectivity, roughness, IoR, opacity, flags,
+6 texture refs}. TPU-first, the table is a struct-of-arrays so a wavefront of
+rays can gather each field as a flat 1D gather (lane-friendly), and so every
+field is differentiable (the inverse-rendering path takes gradients w.r.t.
+this pytree directly).
+
+Roughness from OBJ phong exponent follows MeshStorage.cpp:163:
+roughness = 1/Ns (or 1 if Ns == 0).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fermat_tpu.core.math import Vec3
+
+Array = jax.Array
+
+# material flags (src/mesh/MeshView.h flags + renderer.cu:734-744 flag setup)
+FLAG_EMISSIVE = 1 << 0
+
+
+class MaterialTable(NamedTuple):
+    """Per-material arrays; index with a (N,) material-id gather."""
+
+    diffuse: Vec3
+    specular: Vec3
+    emissive: Vec3
+    diffuse_trans: Vec3
+    reflectivity: Vec3
+    roughness: Array  # (M,)
+    ior: Array  # (M,)
+    opacity: Array  # (M,)
+    flags: Array  # (M,) int32
+    # texture slots; -1 = none (texture storage in scene.textures)
+    diffuse_map: Array  # (M,) int32
+    specular_map: Array
+    emissive_map: Array
+    bump_map: Array
+
+    @property
+    def count(self) -> int:
+        return self.roughness.shape[0]
+
+    def gather(self, mat_id: Array) -> "MaterialTable":
+        """Per-lane material fetch: returns a MaterialTable of (N,) arrays."""
+        return jax.tree_util.tree_map(lambda a: a[mat_id], self)
+
+    @staticmethod
+    def from_host(mats: "list[HostMaterial]") -> "MaterialTable":
+        if not mats:
+            mats = [HostMaterial(name="default")]
+        f = np.float32
+        v3 = lambda key: Vec3(
+            jnp.asarray(np.array([getattr(m, key)[0] for m in mats], f)),
+            jnp.asarray(np.array([getattr(m, key)[1] for m in mats], f)),
+            jnp.asarray(np.array([getattr(m, key)[2] for m in mats], f)),
+        )
+        s = lambda key, dt=f: jnp.asarray(np.array([getattr(m, key) for m in mats], dt))
+        return MaterialTable(
+            diffuse=v3("diffuse"),
+            specular=v3("specular"),
+            emissive=v3("emissive"),
+            diffuse_trans=v3("diffuse_trans"),
+            reflectivity=v3("reflectivity"),
+            roughness=s("roughness"),
+            ior=s("ior"),
+            opacity=s("opacity"),
+            flags=s("flags", np.int32),
+            diffuse_map=s("diffuse_map", np.int32),
+            specular_map=s("specular_map", np.int32),
+            emissive_map=s("emissive_map", np.int32),
+            bump_map=s("bump_map", np.int32),
+        )
+
+
+class HostMaterial:
+    """Mutable host-side material (loader staging), MeshBase.cpp:370-410 analog."""
+
+    def __init__(self, name: str = ""):
+        self.name = name
+        self.diffuse = (0.0, 0.0, 0.0)
+        self.specular = (0.0, 0.0, 0.0)
+        self.emissive = (0.0, 0.0, 0.0)
+        self.diffuse_trans = (0.0, 0.0, 0.0)
+        self.reflectivity = (0.0, 0.0, 0.0)
+        self.phong_exponent = 0.0
+        self.ior = 1.0
+        self.opacity = 1.0
+        self.flags = 0
+        self.diffuse_map = -1
+        self.specular_map = -1
+        self.emissive_map = -1
+        self.bump_map = -1
+        # texture file names resolved by the scene loader
+        self.diffuse_map_name = ""
+        self.specular_map_name = ""
+        self.emissive_map_name = ""
+        self.bump_map_name = ""
+
+    @property
+    def roughness(self) -> float:
+        # MeshStorage.cpp:163
+        return 1.0 / self.phong_exponent if self.phong_exponent else 1.0
+
+    def finalize_flags(self):
+        """Set derived flags (renderer.cu:734-744 material flag pass)."""
+        if max(self.emissive) > 0.0:
+            self.flags |= FLAG_EMISSIVE
+        return self

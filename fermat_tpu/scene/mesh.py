@@ -1,0 +1,192 @@
+"""Mesh storage: host mirror + device view.
+
+Reference analogs:
+  * MeshStorage / DeviceMeshStorage (src/mesh/MeshStorage.h) — indexed
+    triangle mesh with separate vertex/normal/uv index streams, per-triangle
+    material indices, groups with names.
+  * MeshView (src/mesh/MeshView.h:96-170) — the POD device view passed by
+    value into kernels.
+
+TPU-first differences: the device view is a pytree of flat SoA jnp arrays
+(component-per-array), so triangle fetches are 1D gathers that vectorize over
+the wavefront; "host -> device mirror" (renderer.cu:912 `m_mesh_d = m_mesh`)
+is a single `jax.device_put` of the pytree (replicated across the pod by the
+parallel layer).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fermat_tpu.core.math import Vec3, cross, normalize
+from fermat_tpu.scene.materials import HostMaterial, MaterialTable
+
+Array = jax.Array
+
+
+@dataclass
+class MeshStorage:
+    """Host-side mutable mesh (numpy), built by loaders; MeshStorage.h analog."""
+
+    vertices: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
+    triangles: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.int32))
+    normals: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
+    normal_indices: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.int32))  # -1 => face normal
+    uvs: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.float32))
+    uv_indices: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.int32))  # -1 => zero uv
+    material_ids: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.int32))
+    materials: List[HostMaterial] = field(default_factory=list)
+    group_names: List[str] = field(default_factory=list)
+    group_offsets: np.ndarray = field(default_factory=lambda: np.zeros((1,), np.int32))
+
+    @property
+    def n_triangles(self) -> int:
+        return self.triangles.shape[0]
+
+    @property
+    def n_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+    # -- edits ------------------------------------------------------------
+    def transform(self, m: np.ndarray) -> "MeshStorage":
+        """Apply a 4x4 affine transform in place (fa-scene instancing)."""
+        v = self.vertices @ m[:3, :3].T + m[:3, 3]
+        self.vertices = v.astype(np.float32)
+        if self.normals.shape[0]:
+            ninv = np.linalg.inv(m[:3, :3]).T
+            n = self.normals @ ninv.T
+            n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-20)
+            self.normals = n.astype(np.float32)
+        return self
+
+    def merge(self, other: "MeshStorage") -> "MeshStorage":
+        """Append another mesh (MeshStorage.h merge used by the .fa loader)."""
+        mat_off = len(self.materials)
+        vtx_off = self.n_vertices
+        nrm_off = self.normals.shape[0]
+        uv_off = self.uvs.shape[0]
+        tri_off = self.n_triangles
+        self.vertices = np.concatenate([self.vertices, other.vertices])
+        self.triangles = np.concatenate([self.triangles, other.triangles + vtx_off])
+        self.normals = np.concatenate([self.normals, other.normals])
+        oni = other.normal_indices.copy()
+        oni[oni >= 0] += nrm_off
+        self.normal_indices = np.concatenate([self.normal_indices, oni])
+        self.uvs = np.concatenate([self.uvs, other.uvs])
+        oui = other.uv_indices.copy()
+        oui[oui >= 0] += uv_off
+        self.uv_indices = np.concatenate([self.uv_indices, oui])
+        self.material_ids = np.concatenate(
+            [self.material_ids, other.material_ids + mat_off]
+        )
+        self.materials = self.materials + list(other.materials)
+        self.group_names = self.group_names + list(other.group_names)
+        self.group_offsets = np.concatenate(
+            [self.group_offsets[:-1], other.group_offsets + tri_off]
+        )
+        return self
+
+    def bbox(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self.n_vertices == 0:
+            return np.zeros(3, np.float32), np.zeros(3, np.float32)
+        return self.vertices.min(0), self.vertices.max(0)
+
+    def device_view(self) -> "MeshView":
+        """Build the kernel-facing SoA pytree (MeshView.h:96 analog)."""
+        t = self.triangles.astype(np.int32)
+        v = self.vertices.astype(np.float32)
+        # Resolve per-corner shading normals to dense (T,3)-corner arrays at
+        # upload time: -1 slots fall back to the geometric normal. This trades
+        # memory for removing one indirection from the hot gather path.
+        p0 = v[t[:, 0]]
+        p1 = v[t[:, 1]]
+        p2 = v[t[:, 2]]
+        gn = np.cross(p1 - p0, p2 - p0)
+        gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+        corner_n = np.repeat(gn[:, None, :], 3, axis=1)  # (T,3corner,3)
+        if self.normals.shape[0]:
+            ni = self.normal_indices
+            ok = ni >= 0
+            corner_n[ok] = self.normals[np.where(ok, ni, 0)][ok]
+        corner_uv = np.zeros((self.n_triangles, 3, 2), np.float32)
+        if self.uvs.shape[0]:
+            ui = self.uv_indices
+            ok = ui >= 0
+            corner_uv[ok] = self.uvs[np.where(ok, ui, 0)][ok]
+
+        mat = [m.finalize_flags() for m in self.materials] or [HostMaterial("default")]
+        j = jnp.asarray
+        return MeshView(
+            p0=Vec3(j(p0[:, 0]), j(p0[:, 1]), j(p0[:, 2])),
+            e1=Vec3(j((p1 - p0)[:, 0]), j((p1 - p0)[:, 1]), j((p1 - p0)[:, 2])),
+            e2=Vec3(j((p2 - p0)[:, 0]), j((p2 - p0)[:, 1]), j((p2 - p0)[:, 2])),
+            gn=Vec3(j(gn[:, 0]), j(gn[:, 1]), j(gn[:, 2])),
+            n0=Vec3(j(corner_n[:, 0, 0]), j(corner_n[:, 0, 1]), j(corner_n[:, 0, 2])),
+            n1=Vec3(j(corner_n[:, 1, 0]), j(corner_n[:, 1, 1]), j(corner_n[:, 1, 2])),
+            n2=Vec3(j(corner_n[:, 2, 0]), j(corner_n[:, 2, 1]), j(corner_n[:, 2, 2])),
+            uv0=j(corner_uv[:, 0]),
+            uv1=j(corner_uv[:, 1]),
+            uv2=j(corner_uv[:, 2]),
+            material_id=j(
+                self.material_ids.astype(np.int32)
+                if self.material_ids.shape[0]
+                else np.zeros(self.n_triangles, np.int32)
+            ),
+            materials=MaterialTable.from_host(mat),
+        )
+
+
+class MeshView(NamedTuple):
+    """Device-side triangle soup, pre-gathered per corner (MeshView.h:96-170).
+
+    Triangles stored as (p0, e1, e2) so Moller-Trumbore needs no vertex
+    indirection; shading normals/uvs pre-resolved per corner.
+    """
+
+    p0: Vec3  # (T,)
+    e1: Vec3  # p1 - p0
+    e2: Vec3  # p2 - p0
+    gn: Vec3  # geometric unit normal
+    n0: Vec3  # shading normals at corners
+    n1: Vec3
+    n2: Vec3
+    uv0: Array  # (T, 2)
+    uv1: Array
+    uv2: Array
+    material_id: Array  # (T,)
+    materials: MaterialTable
+
+    @property
+    def n_triangles(self) -> int:
+        return self.material_id.shape[0]
+
+    def interpolate(self, tri: Array, u: Array, v: Array):
+        """Differential geometry at hit (tri, u, v) — setup_differential_geometry
+        (src/vertex.h:69-115, src/mesh_utils.h) analog.
+
+        Returns (position Vec3, geometric normal Vec3, shading normal Vec3,
+        uv (N,2), material ids).
+        """
+        p0 = self.p0.gather(tri)
+        e1 = self.e1.gather(tri)
+        e2 = self.e2.gather(tri)
+        pos = p0 + e1 * u + e2 * v
+        gn = self.gn.gather(tri)
+        w = 1.0 - u - v
+        n = normalize(
+            self.n0.gather(tri) * w + self.n1.gather(tri) * u + self.n2.gather(tri) * v
+        )
+        uv = (
+            self.uv0[tri] * w[:, None]
+            + self.uv1[tri] * u[:, None]
+            + self.uv2[tri] * v[:, None]
+        )
+        return pos, gn, n, uv, self.material_id[tri]
+
+    def triangle_areas(self) -> Array:
+        c = cross(self.e1, self.e2)
+        return 0.5 * jnp.sqrt(jnp.maximum(c.x * c.x + c.y * c.y + c.z * c.z, 0.0))

@@ -1,0 +1,237 @@
+"""Composite layered BSDF: Lambert refl/trans + GGX-Smith refl/trans with
+Fresnel-weighted layering and Kelemen-coupled energy conservation.
+
+Reference: src/bsdf.h:123-1280 (`Bsdf`). Component structure mirrors
+bsdf.h:127-155:
+  0 diffuse reflection    rho_d / pi         weight t_coeff * opacity * k
+  1 diffuse transmission  rho_dt / pi        weight t_coeff * opacity * k
+  2 glossy reflection     GGX-Smith          weight r_coeff (Schlick, F0 = specular/pi)
+  3 glossy transmission   GGX-Smith refract  weight t_coeff * (1 - opacity)
+where r_coeff = fresnel_schlick(VoH, F0) (bsdf.h:632-667),
+t_coeff = 1 - max_comp(r_coeff), and k is the Kelemen-Szirmay-Kalos coupling
+(1 - E_g(NoV)) * (1 - E_g(NoL)) (bsdf.h:722-744). The reference looks E_g up
+in a precomputed 4D (eta, F0, roughness, cos) table loaded at init
+(renderer.cu:641-683); here E_g = max_comp(schlick(cos, F0)) * E_{F=1}(
+roughness, cos) with the F=1 albedo table integrated at import (ggx.py).
+
+The clearcoat layer (component 4) is not yet implemented: reflectivity is 0
+in every bundled scene, making Tc == 1 exactly (bsdf.h:781-792 degenerates to
+the inner weights). TODO(clearcoat): port the clearcoat_transmission pass.
+
+Sampling is one-sample MIS over the four lobes: pick a lobe by its
+luminance-weighted selection probability, sample it, and return the FULL
+composite f and the mixture pdf (sum of per-lobe pdfs times selection
+probabilities) — exactly the estimator structure of Bsdf::sample
+(bsdf.h:830-1000), with g = f / p_proj.
+
+All quantities are flat (N,) lanes in the local shading frame.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fermat_tpu.bsdf import ggx
+from fermat_tpu.bsdf.fresnel import schlick
+from fermat_tpu.core.math import Vec3, dot, normalize
+from fermat_tpu.core.sampling import INV_PI, square_to_cosine_hemisphere
+
+Array = jax.Array
+
+# component indices (bsdf.h:129-133)
+DIFFUSE_REFL = 0
+DIFFUSE_TRANS = 1
+GLOSSY_REFL = 2
+GLOSSY_TRANS = 3
+
+
+class BsdfParams(NamedTuple):
+    """Per-lane material parameters (post texture modulation)."""
+
+    diffuse: Vec3
+    diffuse_trans: Vec3
+    specular: Vec3  # raw material specular; F0 = specular / pi (bsdf.h:234)
+    roughness: Array
+    ior: Array
+    opacity: Array
+
+    @staticmethod
+    def from_materials(m) -> "BsdfParams":
+        """From a gathered MaterialTable row-set (fermat_tpu.scene.materials)."""
+        return BsdfParams(
+            diffuse=m.diffuse,
+            diffuse_trans=m.diffuse_trans,
+            specular=m.specular,
+            roughness=m.roughness,
+            ior=m.ior,
+            opacity=m.opacity,
+        )
+
+    @property
+    def f0(self) -> Vec3:
+        return Vec3(
+            self.specular.x * INV_PI,
+            self.specular.y * INV_PI,
+            self.specular.z * INV_PI,
+        )
+
+
+def _max_comp(v: Vec3) -> Array:
+    return jnp.maximum(jnp.maximum(v.x, v.y), v.z)
+
+
+def _e_glossy(p: BsdfParams, cos_t: Array) -> Array:
+    """Fresnel-scaled glossy directional albedo (table analog, see module doc).
+
+    The Fresnel factor uses the hemispherical-average Schlick reflectance
+    F_avg = F0 + (1 - F0)/21, so F0 = 0 yields exactly 0 (pure diffuse stays
+    lossless) — the reference's 4D table encodes the same limit at its
+    base_spec = 0 slice.
+    """
+    e1 = ggx.glossy_reflectance(p.roughness, cos_t)
+    f0m = _max_comp(p.f0)
+    favg = f0m + (1.0 - f0m) / 21.0
+    favg = jnp.where(f0m <= 0.0, 0.0, favg)
+    e = jnp.clip(e1 * favg, 0.0, 1.0)
+    return jnp.where(p.ior == 0.0, 0.0, e)
+
+
+def component_weights(
+    p: BsdfParams, wi: Vec3, wo: Vec3
+) -> Tuple[Vec3, Array, Array, Array]:
+    """(glossy_refl r_coeff Vec3, diffuse_w, diffuse_trans_w, glossy_trans_w).
+
+    Mirrors inner_component_weights (bsdf.h:722-744): VoH Schlick for the
+    glossy layer, Kelemen coupling for the diffuse floor.
+    """
+    # half vector (reflection); falls back to N at grazing/transmission
+    h = normalize(wi + wo)
+    voh = jnp.abs(dot(wi, h))
+    # degenerate (wi == -wo) -> use NoV
+    voh = jnp.where(jnp.isfinite(voh), voh, jnp.abs(wi.z))
+    r_coeff = schlick(voh, p.f0)
+    suppressed = p.ior == 0.0  # ior==0 signals glossy suppression (bsdf.h:638)
+    r_coeff = Vec3(
+        jnp.where(suppressed, 0.0, r_coeff.x),
+        jnp.where(suppressed, 0.0, r_coeff.y),
+        jnp.where(suppressed, 0.0, r_coeff.z),
+    )
+    t = 1.0 - _max_comp(r_coeff)
+    k = (1.0 - _e_glossy(p, jnp.abs(wi.z))) * (1.0 - _e_glossy(p, jnp.abs(wo.z)))
+    diffuse_w = t * p.opacity * k
+    diffuse_trans_w = t * p.opacity * k
+    glossy_trans_w = t * (1.0 - p.opacity)
+    return r_coeff, diffuse_w, diffuse_trans_w, glossy_trans_w
+
+
+def f(p: BsdfParams, wi: Vec3, wo: Vec3) -> Vec3:
+    """Full composite BSDF value (bsdf.h:312-334)."""
+    val, _ = f_and_pdf(p, wi, wo)
+    return val
+
+
+def pdf(p: BsdfParams, wi: Vec3, wo: Vec3) -> Array:
+    """Mixture solid-angle pdf matching `sample` (bsdf.h:415-460)."""
+    _, pd = f_and_pdf(p, wi, wo)
+    return pd
+
+
+def _selection_probs(p: BsdfParams, wi: Vec3):
+    """Lobe selection probabilities from view-dependent weight luminances."""
+    nov = jnp.abs(wi.z)
+    r_lum = _max_comp(schlick(nov, p.f0))
+    r_lum = jnp.where(p.ior == 0.0, 0.0, r_lum)
+    t = 1.0 - r_lum
+    k = 1.0 - _e_glossy(p, nov)
+    w_dr = t * p.opacity * k * _max_comp(p.diffuse)
+    w_dt = t * p.opacity * k * _max_comp(p.diffuse_trans)
+    w_gr = r_lum
+    w_gt = t * (1.0 - p.opacity)
+    total = w_dr + w_dt + w_gr + w_gt
+    inv = 1.0 / jnp.maximum(total, 1e-12)
+    dead = total <= 1e-12
+    # dead lanes fall back to diffuse so probs stay normalized
+    p_dr = jnp.where(dead, 1.0, w_dr * inv)
+    p_dt = jnp.where(dead, 0.0, w_dt * inv)
+    p_gr = jnp.where(dead, 0.0, w_gr * inv)
+    p_gt = jnp.where(dead, 0.0, w_gt * inv)
+    return p_dr, p_dt, p_gr, p_gt
+
+
+def f_and_pdf(p: BsdfParams, wi: Vec3, wo: Vec3) -> Tuple[Vec3, Array]:
+    """Composite f and the mixture pdf of `sample` (bsdf.h:336-413)."""
+    alpha = ggx._alpha(p.roughness)
+    r_coeff, w_d, w_dt, w_gt = component_weights(p, wi, wo)
+    same = (wi.z * wo.z) > 0.0
+    abs_co = jnp.abs(wo.z)
+
+    f_dr = jnp.where(same, INV_PI, 0.0) * w_d
+    f_dt = jnp.where(~same, INV_PI, 0.0) * w_dt
+    g_r = ggx.reflect_eval(alpha, wi, wo)
+    g_t = ggx.refract_eval(alpha, p.ior, wi, wo) * w_gt
+
+    fx = p.diffuse.x * f_dr + p.diffuse_trans.x * f_dt + r_coeff.x * g_r + g_t
+    fy = p.diffuse.y * f_dr + p.diffuse_trans.y * f_dt + r_coeff.y * g_r + g_t
+    fz = p.diffuse.z * f_dr + p.diffuse_trans.z * f_dt + r_coeff.z * g_r + g_t
+
+    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi)
+    pdf_dr = jnp.where(same, abs_co * INV_PI, 0.0)
+    pdf_dt = jnp.where(~same, abs_co * INV_PI, 0.0)
+    pdf_gr = ggx.reflect_pdf(alpha, wi, wo)
+    pdf_gt = ggx.refract_pdf(alpha, p.ior, wi, wo)
+    mix_pdf = p_dr * pdf_dr + p_dt * pdf_dt + p_gr * pdf_gr + p_gt * pdf_gt
+    return Vec3(fx, fy, fz), mix_pdf
+
+
+class BsdfSample(NamedTuple):
+    wo: Vec3  # sampled direction (local frame)
+    f: Vec3  # composite BSDF value
+    pdf: Array  # mixture solid-angle pdf
+    g: Vec3  # f * |cos| / pdf — the throughput weight (bsdf.h `out_g`)
+    component: Array  # which lobe was sampled (int32)
+    valid: Array  # pdf > 0
+
+
+def sample(p: BsdfParams, wi: Vec3, u0, u1, u2) -> BsdfSample:
+    """One-sample-MIS lobe sampling (Bsdf::sample, bsdf.h:830-1000)."""
+    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi)
+    alpha = ggx._alpha(p.roughness)
+    side = jnp.where(wi.z >= 0, 1.0, -1.0)
+
+    c0 = p_dr
+    c1 = c0 + p_dt
+    c2 = c1 + p_gr
+    comp = (
+        jnp.where(u2 < c0, DIFFUSE_REFL,
+        jnp.where(u2 < c1, DIFFUSE_TRANS,
+        jnp.where(u2 < c2, GLOSSY_REFL, GLOSSY_TRANS)))
+    ).astype(jnp.int32)
+
+    # sample every lobe (cheap, branchless) and select
+    d_loc = square_to_cosine_hemisphere(u0, u1)
+    wo_dr = Vec3(d_loc.x, d_loc.y, d_loc.z * side)
+    wo_dt = Vec3(d_loc.x, d_loc.y, -d_loc.z * side)
+    wo_gr, _ = ggx.reflect_sample(alpha, wi, u0, u1)
+    wo_gt, pdf_gt_s = ggx.refract_sample(alpha, p.ior, wi, u0, u1)
+
+    is_dr = comp == DIFFUSE_REFL
+    is_dt = comp == DIFFUSE_TRANS
+    is_gr = comp == GLOSSY_REFL
+    is_gt = comp == GLOSSY_TRANS
+
+    wo = Vec3(
+        jnp.where(is_dr, wo_dr.x, jnp.where(is_dt, wo_dt.x, jnp.where(is_gr, wo_gr.x, wo_gt.x))),
+        jnp.where(is_dr, wo_dr.y, jnp.where(is_dt, wo_dt.y, jnp.where(is_gr, wo_gr.y, wo_gt.y))),
+        jnp.where(is_dr, wo_dr.z, jnp.where(is_dt, wo_dt.z, jnp.where(is_gr, wo_gr.z, wo_gt.z))),
+    )
+
+    fv, mix_pdf = f_and_pdf(p, wi, wo)
+    # glossy-trans TIR lanes have pdf 0
+    mix_pdf = jnp.where(is_gt & (pdf_gt_s <= 0.0), 0.0, mix_pdf)
+    valid = mix_pdf > 1e-12
+    inv_pdf = jnp.where(valid, 1.0 / jnp.where(valid, mix_pdf, 1.0), 0.0)
+    cos_o = jnp.abs(wo.z)
+    g = Vec3(fv.x * cos_o * inv_pdf, fv.y * cos_o * inv_pdf, fv.z * cos_o * inv_pdf)
+    return BsdfSample(wo=wo, f=fv, pdf=mix_pdf, g=g, component=comp, valid=valid)

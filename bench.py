@@ -1,0 +1,75 @@
+"""Benchmark: wavefront PT throughput on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metric: Mrays/s/chip (closest + shadow rays actually traced, counted inside
+the pass — masked dead lanes are NOT counted), CornellBox full-BSDF PT at
+512x512, 6 bounces, NEE+MIS. The reference publishes no numbers
+(BASELINE.md), so vs_baseline is reported against the round-1 recorded value
+in BENCH_BASELINE.json once it exists (1.0 on first run).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fermat_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from fermat_tpu.integrators.pt import PTOptions, render_pass
+    from fermat_tpu.scene.procedural import cornell_box, cornell_camera
+    from fermat_tpu.scene.view import SceneView
+
+    res = 512
+    opts = PTOptions(max_path_length=6)
+    view = SceneView.build(cornell_box(glossy_boxes=True), cornell_camera())
+
+    @jax.jit
+    def one_pass(view, instance):
+        out = render_pass(view, opts, res, res, instance)
+        return out.composited.stack(), out.rays
+
+    # warmup/compile
+    img, rays = jax.block_until_ready(one_pass(view, jnp.uint32(0)))
+    rays_per_pass = float(rays)
+
+    n_passes = 16
+    t0 = time.perf_counter()
+    for i in range(1, n_passes + 1):
+        img, rays = one_pass(view, jnp.uint32(i))
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+
+    mrays = rays_per_pass * n_passes / dt / 1e6
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    vs = 1.0
+    if os.path.exists(base_path):
+        try:
+            with open(base_path) as f:
+                vs = mrays / float(json.load(f)["value"])
+        except Exception:
+            vs = 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s/chip (PT trace+shade, CornellBox 512x512)",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

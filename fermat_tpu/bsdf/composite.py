@@ -185,6 +185,34 @@ def f_and_pdf(p: BsdfParams, wi: Vec3, wo: Vec3) -> Tuple[Vec3, Array]:
     return Vec3(fx, fy, fz), mix_pdf
 
 
+def f_split(p: BsdfParams, wi: Vec3, wo: Vec3) -> Tuple[Vec3, Vec3, Array]:
+    """(f_diffuse, f_glossy, mixture_pdf) — the per-component split the
+    reference's PTVertexProcessor uses to route diffuse vs specular framebuffer
+    channels (src/renderers/pathtracer_vertex_processor.h)."""
+    alpha = ggx._alpha(p.roughness)
+    r_coeff, w_d, w_dt, w_gt = component_weights(p, wi, wo)
+    same = (wi.z * wo.z) > 0.0
+    f_dr = jnp.where(same, INV_PI, 0.0) * w_d
+    f_dt = jnp.where(~same, INV_PI, 0.0) * w_dt
+    g_r = ggx.reflect_eval(alpha, wi, wo)
+    g_t = ggx.refract_eval(alpha, p.ior, wi, wo) * w_gt
+    fd = Vec3(
+        p.diffuse.x * f_dr + p.diffuse_trans.x * f_dt,
+        p.diffuse.y * f_dr + p.diffuse_trans.y * f_dt,
+        p.diffuse.z * f_dr + p.diffuse_trans.z * f_dt,
+    )
+    fg = Vec3(r_coeff.x * g_r + g_t, r_coeff.y * g_r + g_t, r_coeff.z * g_r + g_t)
+    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi)
+    abs_co = jnp.abs(wo.z)
+    mix_pdf = (
+        p_dr * jnp.where(same, abs_co * INV_PI, 0.0)
+        + p_dt * jnp.where(~same, abs_co * INV_PI, 0.0)
+        + p_gr * ggx.reflect_pdf(alpha, wi, wo)
+        + p_gt * ggx.refract_pdf(alpha, p.ior, wi, wo)
+    )
+    return fd, fg, mix_pdf
+
+
 class BsdfSample(NamedTuple):
     wo: Vec3  # sampled direction (local frame)
     f: Vec3  # composite BSDF value
@@ -227,9 +255,19 @@ def sample(p: BsdfParams, wi: Vec3, u0, u1, u2) -> BsdfSample:
         jnp.where(is_dr, wo_dr.z, jnp.where(is_dt, wo_dt.z, jnp.where(is_gr, wo_gr.z, wo_gt.z))),
     )
 
+    # DETACHED sampling (differentiable-rendering convention, cf. Mitsuba 3):
+    # the sampled direction and pdf are constants of the estimator; parameter
+    # gradients flow through f only. This also kills 1/pdf^2 backward
+    # blowups on near-zero-pdf lanes.
+    wo = Vec3(
+        jax.lax.stop_gradient(wo.x),
+        jax.lax.stop_gradient(wo.y),
+        jax.lax.stop_gradient(wo.z),
+    )
     fv, mix_pdf = f_and_pdf(p, wi, wo)
     # glossy-trans TIR lanes have pdf 0
     mix_pdf = jnp.where(is_gt & (pdf_gt_s <= 0.0), 0.0, mix_pdf)
+    mix_pdf = jax.lax.stop_gradient(mix_pdf)
     valid = mix_pdf > 1e-12
     inv_pdf = jnp.where(valid, 1.0 / jnp.where(valid, mix_pdf, 1.0), 0.0)
     cos_o = jnp.abs(wo.z)

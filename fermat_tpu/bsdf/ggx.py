@@ -273,16 +273,21 @@ def _build_albedo_table(res: int = _ALBEDO_RES) -> np.ndarray:
     return np.clip(table, 0.0, 1.0).astype(np.float32)
 
 
-_ALBEDO_TABLE = None
+_ALBEDO_TABLE_NP = None
 
 
 def glossy_reflectance(roughness: Array, cos_theta: Array) -> Array:
-    """Bilinear lookup of the F=1 GGX directional albedo (Kelemen coupling)."""
-    global _ALBEDO_TABLE
-    if _ALBEDO_TABLE is None:
-        _ALBEDO_TABLE = jnp.asarray(_build_albedo_table())
+    """Bilinear lookup of the F=1 GGX directional albedo (Kelemen coupling).
+
+    The table is cached as a HOST numpy array and converted per call: caching
+    a device array created inside a jit trace would leak tracers across
+    traces; jnp.asarray of a host constant is folded by XLA.
+    """
+    global _ALBEDO_TABLE_NP
+    if _ALBEDO_TABLE_NP is None:
+        _ALBEDO_TABLE_NP = _build_albedo_table()
     res = _ALBEDO_RES
-    t = _ALBEDO_TABLE
+    t = jnp.asarray(_ALBEDO_TABLE_NP)
     r = jnp.clip(roughness, 0.0, 1.0) * res - 0.5
     c = jnp.clip(jnp.abs(cos_theta), 0.0, 1.0) * res - 0.5
     r0 = jnp.clip(jnp.floor(r), 0, res - 1).astype(jnp.int32)

@@ -141,18 +141,24 @@ class CameraSampler(NamedTuple):
 
 
 def generate_camera_rays(
-    cam: Camera, res_x: int, res_y: int, jitter_x: Array, jitter_y: Array
+    cam: Camera,
+    res_x: int,
+    res_y: int,
+    jitter_x: Array,
+    jitter_y: Array,
+    pix: Array = None,
 ):
-    """Primary rays for every pixel, one lane per pixel.
+    """Primary rays, one lane per pixel id.
 
     Matches generate_primary_rays (src/pathtracer_kernels.h:134-181): pixel
     (x, y) maps to NDC ((x + jx)/res_x, (y + jy)/res_y).
 
-    jitter_x/y: (res_y*res_x,) uniforms. Returns (origin Vec3, dir Vec3 —
-    *normalized*, pixel ids).
+    jitter_x/y: per-lane uniforms. `pix` defaults to the full pixel grid;
+    pass a subset for tile-sharded rendering (fermat_tpu.parallel).
+    Returns (origin Vec3, dir Vec3 — *normalized*, pixel ids).
     """
-    n = res_x * res_y
-    pix = jnp.arange(n, dtype=jnp.uint32)
+    if pix is None:
+        pix = jnp.arange(res_x * res_y, dtype=jnp.uint32)
     px = (pix % jnp.uint32(res_x)).astype(jnp.float32)
     py = (pix // jnp.uint32(res_x)).astype(jnp.float32)
     sampler = CameraSampler.create(cam, res_x / res_y)

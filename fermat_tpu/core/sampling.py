@@ -67,12 +67,16 @@ def square_to_uniform_triangle(u0, u1):
 # ---------------------------------------------------------------------------
 
 def balance_heuristic(pdf_a, pdf_b):
-    return pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-20)
+    """a/(a+b) in overflow-safe ratio form (f32 pdfs can reach ~1e27)."""
+    r = pdf_b / jnp.maximum(pdf_a, 1e-32)
+    return jnp.where(pdf_a > 0.0, 1.0 / (1.0 + r), 0.0)
 
 
 def power_heuristic(pdf_a, pdf_b):
-    a2 = pdf_a * pdf_a
-    return a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-20)
+    """a^2/(a^2+b^2) in ratio form: naive squaring overflows f32 to inf/inf
+    = NaN for sharp GGX pdfs; 1/(1+r^2) degrades gracefully (r=inf -> 0)."""
+    r = pdf_b / jnp.maximum(pdf_a, 1e-32)
+    return jnp.where(pdf_a > 0.0, 1.0 / (1.0 + r * r), 0.0)
 
 
 def pdf_solid_angle_to_area(pdf_sa, dist2, cos_theta):

@@ -1,0 +1,473 @@
+"""Wavefront path tracer with NEE + MIS.
+
+Reference analogs:
+  * PTLib device core: generate_primary_ray (pathtracer_core.h:635-686),
+    shade_vertex = NEE (dir lights + mesh lights w/ MIS) + emissive
+    accumulation + BSDF scatter + RR (pathtracer_core.h:773-1254),
+    solve_occlusion (:707-738).
+  * host loop path_trace_loop (pathtracer_kernels.h:310-391) alternating
+    trace / shade / shadow with queue ping-pong.
+  * channel routing of PTVertexProcessor
+    (src/renderers/pathtracer_vertex_processor.h): diffuse vs specular
+    framebuffer channels decided by the first-vertex component.
+
+TPU-first shape: ONE jitted megakernel pass. The wavefront is the full pixel
+grid; the bounce loop is a `lax.fori_loop` with masked lanes instead of
+compacted queues (every per-bounce stage is a flat (N,)-lane vector op, the
+traversal while-loops nest inside). There is NO host<->device sync anywhere
+in a pass — the reference pays a 4-byte readback per bounce
+(pathtracer_kernels.h:329); here the whole pass is one XLA computation.
+Compacted-queue variants (scan-based, the warp_append analog) live in
+fermat_tpu.ops.compact and are used by the queue-explicit integrators.
+
+Differentiability: traversal outputs (hit ids / barycentrics / visibility)
+are detached; radiance is differentiable w.r.t. material/emitter parameters
+(the BASELINE.json inverse-rendering path).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fermat_tpu.accel.traverse import (
+    trace_any,
+    trace_any_brute,
+    trace_closest,
+    trace_closest_brute,
+)
+from fermat_tpu.bsdf.composite import (
+    BsdfParams,
+    f_split,
+    sample as bsdf_sample,
+)
+from fermat_tpu.core.camera import generate_camera_rays
+from fermat_tpu.core.math import Vec3, dot, normalize, orthonormal_basis, to_local, to_world
+from fermat_tpu.core.rng import TiledSequence
+from fermat_tpu.core.sampling import power_heuristic
+from fermat_tpu.scene.lights import emitter_radiance
+from fermat_tpu.scene.view import SceneView
+
+Array = jax.Array
+
+# framebuffer routing channels (pathtracer_vertex_processor.h)
+CH_DIRECT = 0
+CH_DIFFUSE = 1
+CH_SPECULAR = 2
+
+
+class PTOptions(NamedTuple):
+    """Subset-parity with PTOptions (src/renderers/pathtracer.h:161-250).
+
+    All fields are static (Python) values — changing them retraces.
+    """
+
+    max_path_length: int = 6
+    direct_lighting_nee: bool = True  # pathtracer.h `direct_lighting_nee`
+    direct_lighting_bsdf: bool = True  # emissive hits weighted by MIS
+    indirect_lighting_nee: bool = True
+    indirect_lighting_bsdf: bool = True
+    visible_lights: bool = True  # show emitters to primary rays
+    rr: bool = True  # russian roulette (pathtracer.h `rr`)
+    rr_start_bounce: int = 2
+    ray_eps: float = 1.0e-4  # self-intersection offset (scene units)
+    tracer: str = "auto"  # "bvh" | "brute" | "auto"
+    dims_per_bounce: int = 8
+    # debug: detach whole contribution classes in the backward pass
+    detach_nee: bool = False
+    detach_emissive: bool = False
+
+
+def _pick_tracers(view: SceneView, opts: PTOptions):
+    use_brute = opts.tracer == "brute" or (
+        opts.tracer == "auto" and view.mesh.n_triangles <= 1024
+    )
+    if use_brute:
+        closest = lambda o, d, tmin, tmax, active: trace_closest_brute(
+            view.mesh, o, d, tmin, tmax, active
+        )
+        anyhit = lambda o, d, tmin, tmax, active: trace_any_brute(
+            view.mesh, o, d, tmin, tmax, active
+        )
+    else:
+        closest = lambda o, d, tmin, tmax, active: trace_closest(
+            view.bvh, view.mesh, o, d, tmin, tmax, active
+        )
+        anyhit = lambda o, d, tmin, tmax, active: trace_any(
+            view.bvh, view.mesh, o, d, tmin, tmax, active
+        )
+    return closest, anyhit
+
+
+class _PassOutput(NamedTuple):
+    """Raw per-pixel sample images of one progressive pass ((N,) lanes)."""
+
+    direct: Vec3
+    diffuse: Vec3
+    specular: Vec3
+    composited: Vec3
+    diffuse_albedo: Vec3
+    specular_albedo: Vec3
+    # first-hit gbuffer
+    depth: Array
+    tri: Array
+    normal: Vec3
+    uv: Array
+    material: Array
+    rays: Array  # scalar: rays traced this pass
+
+
+def _offset_origin(pos: Vec3, gn: Vec3, d: Vec3, eps: float) -> Vec3:
+    """Offset along the geometric normal on the side the ray departs."""
+    side = jnp.where(dot(gn, d) >= 0.0, 1.0, -1.0)
+    return pos + gn * (side * eps)
+
+
+def render_pass(
+    view: SceneView,
+    opts: PTOptions,
+    res_x: int,
+    res_y: int,
+    instance: Array,
+    seed: int = 0,
+    pix: Array = None,
+) -> _PassOutput:
+    """Trace one progressive pass (PathTracer::render, pathtracer_impl.h:197).
+
+    `pix` defaults to the full pixel grid; tile-sharded rendering
+    (fermat_tpu.parallel) passes each shard's pixel-id slice.
+    """
+    if pix is None:
+        pix = jnp.arange(res_x * res_y, dtype=jnp.uint32)
+    n = pix.shape[0]
+    seq = TiledSequence.create(seed=seed).set_instance(instance)
+    closest, anyhit = _pick_tracers(view, opts)
+
+    jx, jy = seq.sample_2d(pix, jnp.uint32(0))
+    o, d, _ = generate_camera_rays(view.camera, res_x, res_y, jx, jy, pix)
+
+    zero3 = Vec3.zeros((n,))
+    eps = opts.ray_eps
+
+    class Carry(NamedTuple):
+        o: Vec3
+        d: Vec3
+        thr: Vec3  # path throughput (includes 1/pdf)
+        alive: Array
+        prev_pdf: Array  # solid-angle pdf of the ray's BSDF sample
+        channel: Array  # routing decided at first scatter
+        l_direct: Vec3
+        l_diffuse: Vec3
+        l_specular: Vec3
+        # gbuffer capture (first hit)
+        g_depth: Array
+        g_tri: Array
+        g_normal: Vec3
+        g_uv: Array
+        g_mat: Array
+        g_diff_albedo: Vec3
+        g_spec_albedo: Vec3
+        rays: Array  # scalar f32 — total traced rays (closest + shadow)
+
+    carry = Carry(
+        o=o,
+        d=d,
+        thr=Vec3.full((n,), 1.0, 1.0, 1.0),
+        alive=jnp.ones(n, bool),
+        prev_pdf=jnp.zeros(n, jnp.float32),
+        channel=jnp.full(n, CH_DIRECT, jnp.int32),
+        l_direct=zero3,
+        l_diffuse=zero3,
+        l_specular=zero3,
+        g_depth=jnp.full(n, jnp.inf, jnp.float32),
+        g_tri=jnp.full(n, -1, jnp.int32),
+        g_normal=zero3,
+        g_uv=jnp.zeros((n, 2), jnp.float32),
+        g_mat=jnp.full(n, -1, jnp.int32),
+        g_diff_albedo=zero3,
+        g_spec_albedo=zero3,
+        rays=jnp.zeros((), jnp.float32),
+    )
+
+    def add_routed(c: Carry, contrib: Vec3, mask: Array, channel: Array) -> Carry:
+        m = mask
+        def acc(dst: Vec3, sel: Array) -> Vec3:
+            w = m & (channel == sel)
+            return Vec3(
+                dst.x + jnp.where(w, contrib.x, 0.0),
+                dst.y + jnp.where(w, contrib.y, 0.0),
+                dst.z + jnp.where(w, contrib.z, 0.0),
+            )
+        return c._replace(
+            l_direct=acc(c.l_direct, CH_DIRECT),
+            l_diffuse=acc(c.l_diffuse, CH_DIFFUSE),
+            l_specular=acc(c.l_specular, CH_SPECULAR),
+        )
+
+    def bounce(b, c: Carry, first: bool) -> Carry:
+        # `first` is static (bounce 0 is peeled); `b` is traced inside the
+        # fori_loop over bounces 1..max — keeps the compiled graph at ~2
+        # bounce bodies instead of max_path_length.
+        hit = closest(c.o, c.d, jnp.float32(eps), jnp.float32(3.0e38), c.alive)
+        c = c._replace(rays=c.rays + jnp.sum(c.alive.astype(jnp.float32)))
+        valid = c.alive & hit.hit_mask
+        tri_c = jnp.maximum(hit.tri, 0)
+        pos, gn, sn, uv, mat_id = view.mesh.interpolate(tri_c, hit.u, hit.v)
+        wi = -c.d  # towards the previous vertex
+
+        # flip shading frame to the ray side of the geometric surface
+        flip = jnp.where(dot(gn, wi) < 0.0, -1.0, 1.0)
+        gn_f = gn * flip
+        sn_f = sn * flip
+        t_b, b_b = orthonormal_basis(sn_f)
+        wi_loc = to_local(wi, t_b, b_b, sn_f)
+
+        mats = view.mesh.materials.gather(mat_id)
+        params = BsdfParams.from_materials(mats)
+
+        # ---- gbuffer at the first hit (renderer_view GBuffer) ----
+        if first:
+            c = c._replace(
+                g_depth=jnp.where(valid, hit.t, jnp.inf),
+                g_tri=jnp.where(valid, hit.tri, -1),
+                g_normal=Vec3(
+                    jnp.where(valid, sn_f.x, 0.0),
+                    jnp.where(valid, sn_f.y, 0.0),
+                    jnp.where(valid, sn_f.z, 0.0),
+                ),
+                g_uv=jnp.where(valid[:, None], uv, 0.0),
+                g_mat=jnp.where(valid, mat_id, -1),
+                g_diff_albedo=Vec3(
+                    jnp.where(valid, params.diffuse.x, 0.0),
+                    jnp.where(valid, params.diffuse.y, 0.0),
+                    jnp.where(valid, params.diffuse.z, 0.0),
+                ),
+                g_spec_albedo=Vec3(
+                    jnp.where(valid, params.specular.x, 0.0),
+                    jnp.where(valid, params.specular.y, 0.0),
+                    jnp.where(valid, params.specular.z, 0.0),
+                ),
+            )
+
+        # ---- emissive accumulation (pathtracer_core.h shade_vertex head) ----
+        show = opts.visible_lights if first else (
+            opts.direct_lighting_bsdf or opts.indirect_lighting_bsdf
+        )
+        if show:
+            le = emitter_radiance(view.mesh, tri_c, wi)
+            if first:
+                w_mis = jnp.ones(n, jnp.float32)
+            else:
+                # MIS vs the NEE strategy that could have sampled this
+                # emitter: the NEE at vertex b-1 (direct when b == 1).
+                is_direct = jnp.asarray(b, jnp.int32) == 1
+                pdf_area = view.lights.pdf_area_of(tri_c)
+                # miss lanes carry t = 3e38: t*t overflows to inf and
+                # 0 * inf = NaN would poison masked-lane cotangents
+                t_safe = jnp.where(valid, hit.t, 1.0)
+                dist2 = t_safe * t_safe
+                cos_l = jnp.abs(dot(gn, wi))
+                pdf_sa = pdf_area * dist2 / jnp.maximum(cos_l, 1e-8)
+                w_pow = jax.lax.stop_gradient(power_heuristic(c.prev_pdf, pdf_sa))
+                nee_mask = jnp.where(
+                    is_direct, opts.direct_lighting_nee, opts.indirect_lighting_nee
+                )
+                w_mis = jnp.where(nee_mask, w_pow, 1.0)
+                # gate display of this strategy per depth
+                show_mask = jnp.where(
+                    is_direct, opts.direct_lighting_bsdf, opts.indirect_lighting_bsdf
+                )
+                w_mis = w_mis * show_mask.astype(jnp.float32)
+            contrib = Vec3(
+                c.thr.x * le.x * w_mis, c.thr.y * le.y * w_mis, c.thr.z * le.z * w_mis
+            )
+            if opts.detach_emissive:
+                contrib = Vec3(*(jax.lax.stop_gradient(a) for a in contrib))
+            c = add_routed(c, contrib, valid, c.channel)
+
+        # ---- NEE: mesh lights (shade_vertex direct lighting) ----
+        base_dim = jnp.uint32(2) + jnp.asarray(b, jnp.uint32) * jnp.uint32(
+            opts.dims_per_bounce
+        )
+        nee_on = opts.direct_lighting_nee if first else opts.indirect_lighting_nee
+        if nee_on:
+            ul0, ul1, ul2 = seq.sample_3d(pix, base_dim)
+            lpos, ln, lle, lpdf_a, _ltri = view.lights.sample(view.mesh, ul0, ul1, ul2)
+            to_l = lpos - pos
+            dist2 = jnp.maximum(dot(to_l, to_l), 1e-12)
+            dist = jnp.sqrt(dist2)
+            wo = to_l * (1.0 / dist)
+            cos_l = dot(ln, -wo)  # light must face the shading point
+            wo_loc = to_local(wo, t_b, b_b, sn_f)
+            fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc)
+            pdf_sa = jax.lax.stop_gradient(
+                lpdf_a * dist2 / jnp.maximum(jnp.abs(cos_l), 1e-8)
+            )
+            bsdf_on = opts.direct_lighting_bsdf if first else opts.indirect_lighting_bsdf
+            w_mis = (
+                jax.lax.stop_gradient(power_heuristic(pdf_sa, bsdf_pdf))
+                if bsdf_on
+                else jnp.ones(n, jnp.float32)
+            )
+            cos_s = jnp.abs(wo_loc.z)
+            able = (
+                valid
+                & view.lights.has_lights
+                & (cos_l > 1e-6)
+                & (pdf_sa > 1e-12)
+                & ((fd.x + fd.y + fd.z + fg.x + fg.y + fg.z) > 0.0)
+            )
+            so = _offset_origin(pos, gn, wo, eps)
+            occluded = anyhit(so, wo, jnp.float32(0.0), dist * (1.0 - 1e-3), able)
+            c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
+            lit = able & ~occluded
+            scale = cos_s * w_mis / jnp.maximum(pdf_sa, 1e-12)
+            if opts.detach_nee:
+                scale = jax.lax.stop_gradient(scale)
+                fd = Vec3(*(jax.lax.stop_gradient(a) for a in fd))
+                fg = Vec3(*(jax.lax.stop_gradient(a) for a in fg))
+                lle = Vec3(*(jax.lax.stop_gradient(a) for a in lle))
+            wX = c.thr.x * lle.x * scale
+            wY = c.thr.y * lle.y * scale
+            wZ = c.thr.z * lle.z * scale
+            if first:
+                # split routing: diffuse part -> DIFFUSE, glossy -> SPECULAR
+                c = c._replace(
+                    l_diffuse=Vec3(
+                        c.l_diffuse.x + jnp.where(lit, fd.x * wX, 0.0),
+                        c.l_diffuse.y + jnp.where(lit, fd.y * wY, 0.0),
+                        c.l_diffuse.z + jnp.where(lit, fd.z * wZ, 0.0),
+                    ),
+                    l_specular=Vec3(
+                        c.l_specular.x + jnp.where(lit, fg.x * wX, 0.0),
+                        c.l_specular.y + jnp.where(lit, fg.y * wY, 0.0),
+                        c.l_specular.z + jnp.where(lit, fg.z * wZ, 0.0),
+                    ),
+                )
+            else:
+                contrib = Vec3((fd.x + fg.x) * wX, (fd.y + fg.y) * wY, (fd.z + fg.z) * wZ)
+                c = add_routed(c, contrib, lit, c.channel)
+
+        # ---- NEE: directional lights (renderer dir-light pass) ----
+        if view.dir_lights.count > 0:
+            for li in range(view.dir_lights.count):
+                ld = Vec3(
+                    view.dir_lights.dir_x[li],
+                    view.dir_lights.dir_y[li],
+                    view.dir_lights.dir_z[li],
+                )
+                lc = (
+                    view.dir_lights.col_x[li],
+                    view.dir_lights.col_y[li],
+                    view.dir_lights.col_z[li],
+                )
+                wo = Vec3(
+                    -jnp.broadcast_to(ld.x, (n,)),
+                    -jnp.broadcast_to(ld.y, (n,)),
+                    -jnp.broadcast_to(ld.z, (n,)),
+                )
+                wo_loc = to_local(wo, t_b, b_b, sn_f)
+                fd, fg, _ = f_split(params, wi_loc, wo_loc)
+                cos_s = jnp.abs(wo_loc.z)
+                able = valid & ((fd.x + fg.x + fd.y + fg.y + fd.z + fg.z) > 0.0)
+                so = _offset_origin(pos, gn, wo, eps)
+                occluded = anyhit(so, wo, jnp.float32(0.0), jnp.float32(3.0e38), able)
+                c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
+                lit = able & ~occluded
+                wX = c.thr.x * lc[0] * cos_s
+                wY = c.thr.y * lc[1] * cos_s
+                wZ = c.thr.z * lc[2] * cos_s
+                if first:
+                    c = c._replace(
+                        l_diffuse=Vec3(
+                            c.l_diffuse.x + jnp.where(lit, fd.x * wX, 0.0),
+                            c.l_diffuse.y + jnp.where(lit, fd.y * wY, 0.0),
+                            c.l_diffuse.z + jnp.where(lit, fd.z * wZ, 0.0),
+                        ),
+                        l_specular=Vec3(
+                            c.l_specular.x + jnp.where(lit, fg.x * wX, 0.0),
+                            c.l_specular.y + jnp.where(lit, fg.y * wY, 0.0),
+                            c.l_specular.z + jnp.where(lit, fg.z * wZ, 0.0),
+                        ),
+                    )
+                else:
+                    contrib = Vec3(
+                        (fd.x + fg.x) * wX, (fd.y + fg.y) * wY, (fd.z + fg.z) * wZ
+                    )
+                    c = add_routed(c, contrib, lit, c.channel)
+
+        # ---- BSDF scatter + RR (shade_vertex tail) ----
+        ub0, ub1, ub2 = seq.sample_3d(pix, base_dim + jnp.uint32(3))
+        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2)
+        wo_world = to_world(s.wo, t_b, b_b, sn_f)
+        new_thr = Vec3(c.thr.x * s.g.x, c.thr.y * s.g.y, c.thr.z * s.g.z)
+        new_alive = valid & s.valid & ((s.g.x + s.g.y + s.g.z) > 0.0)
+
+        if opts.rr and not first:
+            u_rr = seq.sample_1d(pix, base_dim + jnp.uint32(6))
+            rr_on = jnp.asarray(b, jnp.int32) >= opts.rr_start_bounce
+            q = jnp.clip(jnp.maximum(jnp.maximum(new_thr.x, new_thr.y), new_thr.z), 0.05, 1.0)
+            q = jax.lax.stop_gradient(jnp.where(rr_on, q, 1.0))
+            keep = u_rr < q
+            new_alive = new_alive & keep
+            inv_q = 1.0 / q
+            new_thr = Vec3(new_thr.x * inv_q, new_thr.y * inv_q, new_thr.z * inv_q)
+
+        # route channel at the first scatter: glossy lobes -> SPECULAR
+        if first:
+            from fermat_tpu.bsdf.composite import GLOSSY_REFL  # 2; >=2 are glossy
+            new_channel = jnp.where(
+                valid,
+                jnp.where(s.component >= GLOSSY_REFL, CH_SPECULAR, CH_DIFFUSE),
+                c.channel,
+            )
+        else:
+            new_channel = c.channel
+
+        # hard-zero dead lanes: masked lanes must carry exact zeros, both so
+        # their (garbage) forward values can never leak and so the backward
+        # pass doesn't turn 0 * inf into NaN cotangents that poison the
+        # gradient sum over lanes
+        new_thr = Vec3(
+            jnp.where(new_alive, new_thr.x, 0.0),
+            jnp.where(new_alive, new_thr.y, 0.0),
+            jnp.where(new_alive, new_thr.z, 0.0),
+        )
+        new_o = _offset_origin(pos, gn, wo_world, eps)
+        return c._replace(
+            o=new_o,
+            d=wo_world,
+            thr=new_thr,
+            alive=new_alive,
+            prev_pdf=s.pdf,
+            channel=new_channel,
+        )
+
+    # bounce 0 peeled (static routing); bounces 1..max in a fori_loop
+    carry = bounce(0, carry, True)
+    if opts.max_path_length > 1:
+        carry = jax.lax.fori_loop(
+            1, opts.max_path_length, lambda b, c: bounce(b, c, False), carry
+        )
+
+    comp = Vec3(
+        carry.l_direct.x + carry.l_diffuse.x + carry.l_specular.x,
+        carry.l_direct.y + carry.l_diffuse.y + carry.l_specular.y,
+        carry.l_direct.z + carry.l_diffuse.z + carry.l_specular.z,
+    )
+    return _PassOutput(
+        direct=carry.l_direct,
+        diffuse=carry.l_diffuse,
+        specular=carry.l_specular,
+        composited=comp,
+        diffuse_albedo=carry.g_diff_albedo,
+        specular_albedo=carry.g_spec_albedo,
+        depth=carry.g_depth,
+        tri=carry.g_tri,
+        normal=carry.g_normal,
+        uv=carry.g_uv,
+        material=carry.g_mat,
+        rays=carry.rays,
+    )

@@ -1,0 +1,149 @@
+"""RenderingContext — owns the scene, framebuffer, and renderer registry.
+
+Reference: src/renderer.{h,cu} RenderingContext/RenderingContextImpl
+(init pipeline renderer.cu:467-991, render driver :1029-1056, registry
+:1020-1025) and RendererInterface (src/renderer_interface.h:45-88).
+
+The TPU context jits one pass function per (renderer, options, resolution)
+and reuses the executable across progressive passes — the analog of the
+reference binding its POD view and launching kernels per frame, minus any
+per-frame host<->device chatter.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fermat_tpu.core.camera import Camera
+from fermat_tpu.integrators import pt as pt_mod
+from fermat_tpu.render.framebuffer import Framebuffer, GBuffer, rmse, to_rgba8, tonemap
+from fermat_tpu.scene.mesh import MeshStorage
+from fermat_tpu.scene.view import SceneView
+
+# renderer registry (renderer.cu:1020-1025 register_renderer analog).
+# Values are factories: options_dict -> (render_pass_fn, options)
+_RENDERER_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_renderer(name: str, factory: Callable) -> None:
+    """Plugin entry point (the reference's DLL register_plugin,
+    hellopt_plugin.cpp:36-40, maps to a plain Python callable here)."""
+    _RENDERER_REGISTRY[name] = factory
+
+
+def _pt_factory(**kw):
+    opts = pt_mod.PTOptions(**kw)
+    return pt_mod.render_pass, opts
+
+
+register_renderer("pt", _pt_factory)
+
+
+@dataclass
+class RenderingContext:
+    view: SceneView
+    res_x: int
+    res_y: int
+    renderer: str = "pt"
+    renderer_options: dict = field(default_factory=dict)
+    seed: int = 0
+    fb: Framebuffer = None
+    instance: int = 0
+    _pass_fn: Optional[Callable] = None
+    stats: dict = field(default_factory=dict)
+
+    @staticmethod
+    def create(
+        storage: MeshStorage,
+        camera: Camera,
+        res_x: int,
+        res_y: int,
+        renderer: str = "pt",
+        dir_lights=(),
+        seed: int = 0,
+        **renderer_options,
+    ) -> "RenderingContext":
+        view = SceneView.build(storage, camera, dir_lights)
+        ctx = RenderingContext(
+            view=view,
+            res_x=res_x,
+            res_y=res_y,
+            renderer=renderer,
+            renderer_options=renderer_options,
+            seed=seed,
+        )
+        ctx.fb = Framebuffer.create(res_y, res_x)
+        return ctx
+
+    def _build_pass(self):
+        if self.renderer not in _RENDERER_REGISTRY:
+            raise KeyError(
+                f"unknown renderer '{self.renderer}'; registered: {sorted(_RENDERER_REGISTRY)}"
+            )
+        pass_fn, opts = _RENDERER_REGISTRY[self.renderer](**self.renderer_options)
+        res_x, res_y, seed = self.res_x, self.res_y, self.seed
+
+        def one_pass(view: SceneView, fb: Framebuffer, instance):
+            out = pass_fn(view, opts, res_x, res_y, instance, seed)
+            shape = (res_y, res_x, 3)
+            img = lambda v: jnp.reshape(v.stack(), shape)
+            return fb.accumulate_pass(
+                instance,
+                img(out.diffuse),
+                img(out.specular),
+                img(out.direct),
+                img(out.composited),
+                img(out.diffuse_albedo),
+                img(out.specular_albedo),
+            )
+
+        self._pass_fn = jax.jit(one_pass)
+
+    def render(self, n_passes: int = 1, progress: bool = False) -> Framebuffer:
+        """Progressive render driver (main.cu:169 / renderer.cu:1029)."""
+        if self._pass_fn is None:
+            self._build_pass()
+        for _ in range(n_passes):
+            t0 = time.perf_counter()
+            self.fb = self._pass_fn(self.view, self.fb, jnp.uint32(self.instance))
+            self.fb = jax.block_until_ready(self.fb)
+            dt = time.perf_counter() - t0
+            self.stats.setdefault("pass_times", []).append(dt)
+            if progress:
+                print(f"pass {self.instance}: {dt*1e3:.1f} ms")
+            self.instance += 1
+        return self.fb
+
+    def restart(self) -> None:
+        """Invalidate accumulation (viewer camera-move semantics)."""
+        self.fb = Framebuffer.create(self.res_y, self.res_x)
+        self.instance = 0
+
+    # -- output ----------------------------------------------------------
+    def image(self, exposure: float = 1.0, gamma: float = 2.2) -> np.ndarray:
+        return np.asarray(to_rgba8(self.fb.composited, exposure, gamma))
+
+    def hdr_image(self) -> np.ndarray:
+        return np.asarray(self.fb.composited)
+
+    def rmse_vs(self, ref_hdr: np.ndarray) -> float:
+        return float(rmse(self.fb.composited, jnp.asarray(ref_hdr)))
+
+    def dump_speed_stats(self) -> dict:
+        """Per-stage stats (RendererInterface::dump_speed_stats analog)."""
+        times = self.stats.get("pass_times", [])
+        if not times:
+            return {}
+        steady = times[1:] if len(times) > 1 else times
+        n_rays = self.res_x * self.res_y  # primary rays / pass lower bound
+        return {
+            "passes": len(times),
+            "mean_pass_ms": 1e3 * float(np.mean(steady)),
+            "first_pass_ms": 1e3 * times[0],
+            "primary_rays_per_s": n_rays / float(np.mean(steady)),
+        }

@@ -1,0 +1,126 @@
+"""Light models + mesh-emitter sampling.
+
+Reference analogs:
+  * src/lights.h:47-330 — LightType{Point,Disk,Rectangle,Directional,Mesh,VTL},
+    manual-dispatch Light base with sample/map/eval pdf.
+  * src/mesh_lights.{h,cu} — MeshLightsStorage: emissive-triangle CDF weighted
+    by EDF x area (mesh_lights.cu:158-520), uniform-mesh NEE sampling.
+  * src/edf.h:49 — Lambertian EDF: radiance == emissive color on the front
+    side (cugar/bsdf/lambert_edf.h:60-64).
+
+TPU design: the CDF is a flat device array sampled with a vectorized
+`searchsorted` per lane; the tri -> pdf lookup for MIS is a dense (T,) array
+gather (no hash). VPL presampling and the light BVH / clustered-RL machinery
+build on this in fermat_tpu.integrators.rl (later tier).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fermat_tpu.core.math import Vec3, dot, normalize
+from fermat_tpu.core.sampling import square_to_uniform_triangle
+from fermat_tpu.scene.mesh import MeshView
+
+Array = jax.Array
+
+
+class MeshLightsView(NamedTuple):
+    """Device view over the emissive set (MeshLightsStorage analog)."""
+
+    cdf: Array  # (T,) inclusive, normalized to 1 over ALL triangles (mesh_lights.cu:166-285)
+    pdf_area: Array  # (T,) area-measure pdf of sampling a point on tri t (0 for non-emissive)
+    has_lights: Array  # () bool
+
+    @staticmethod
+    def build(mesh: MeshView) -> "MeshLightsView":
+        """Weight = luminance(emissive) * area (EDF x area integral,
+        mesh_lights.cu:164-254; texture integral omitted until textured
+        emitters land)."""
+        mats = mesh.materials
+        em = mats.emissive
+        lum = (
+            0.2126 * em.x[mesh.material_id]
+            + 0.7152 * em.y[mesh.material_id]
+            + 0.0722 * em.z[mesh.material_id]
+        )
+        area = mesh.triangle_areas()
+        w = jnp.maximum(lum, 0.0) * area
+        total = jnp.sum(w)
+        has = total > 0.0
+        safe_total = jnp.where(has, total, 1.0)
+        cdf = jnp.cumsum(w) / safe_total
+        pdf_area = jnp.where(
+            (w > 0.0) & (area > 0.0), (w / safe_total) / jnp.maximum(area, 1e-20), 0.0
+        )
+        return MeshLightsView(cdf=cdf, pdf_area=pdf_area, has_lights=has)
+
+    def sample(
+        self, mesh: MeshView, u0: Array, u1: Array, u2: Array
+    ) -> Tuple[Vec3, Vec3, Vec3, Array, Array]:
+        """Sample one point on the emissive set per lane.
+
+        Returns (position, normal, Le radiance, pdf_area, tri_id).
+        Mirrors MeshLightsStorage::sample (mesh_lights.cu:298-330): CDF
+        upper-bound, then uniform barycentrics.
+        """
+        tri = jnp.clip(
+            jnp.searchsorted(self.cdf, u2, side="right"), 0, self.cdf.shape[0] - 1
+        ).astype(jnp.int32)
+        b0, b1 = square_to_uniform_triangle(u0, u1)
+        # position at barycentric (u=b0 relative to e1, v=b1 relative to e2)
+        p0 = mesh.p0.gather(tri)
+        pos = p0 + mesh.e1.gather(tri) * b0 + mesh.e2.gather(tri) * b1
+        n = mesh.gn.gather(tri)
+        em = mesh.materials.emissive
+        mid = mesh.material_id[tri]
+        le = Vec3(em.x[mid], em.y[mid], em.z[mid])
+        pdf = self.pdf_area[tri]
+        return pos, n, le, pdf, tri
+
+    def pdf_area_of(self, tri: Array) -> Array:
+        """Area pdf for MIS when a BSDF ray hits an emitter (tri >= 0)."""
+        return self.pdf_area[jnp.maximum(tri, 0)]
+
+
+def emitter_radiance(mesh: MeshView, tri: Array, wo_world: Vec3) -> Vec3:
+    """Le leaving a surface toward wo_world (front side only) — edf.h Lambert."""
+    n = mesh.gn.gather(jnp.maximum(tri, 0))
+    front = dot(n, wo_world) > 0.0
+    em = mesh.materials.emissive
+    mid = mesh.material_id[jnp.maximum(tri, 0)]
+    z = jnp.zeros_like(n.x)
+    return Vec3(
+        jnp.where(front, em.x[mid], z),
+        jnp.where(front, em.y[mid], z),
+        jnp.where(front, em.z[mid], z),
+    )
+
+
+class DirectionalLightsView(NamedTuple):
+    """SoA directional lights (lights.h:249 DirectionalLight)."""
+
+    dir_x: Array  # (L,) direction the light TRAVELS (towards the scene)
+    dir_y: Array
+    dir_z: Array
+    col_x: Array
+    col_y: Array
+    col_z: Array
+
+    @staticmethod
+    def build(defs) -> "DirectionalLightsView":
+        d = np.array([l.direction for l in defs], np.float32).reshape(-1, 3)
+        if d.shape[0]:
+            d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-20)
+        c = np.array([l.color for l in defs], np.float32).reshape(-1, 3)
+        j = jnp.asarray
+        return DirectionalLightsView(
+            j(d[:, 0]), j(d[:, 1]), j(d[:, 2]), j(c[:, 0]), j(c[:, 1]), j(c[:, 2])
+        )
+
+    @property
+    def count(self) -> int:
+        return self.dir_x.shape[0]

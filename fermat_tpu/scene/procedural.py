@@ -52,6 +52,7 @@ def _box(vs, tris, mats, lo, hi, mat_id, rot_y: float = 0.0, center=None):
 def cornell_box(
     light_scale: float = 1.0,
     glossy_boxes: bool = False,
+    light_size: float = 1.0,
 ) -> MeshStorage:
     """A Cornell box: red/green walls, white floor/ceiling/back, two boxes,
     area light in the ceiling. Matches CornellBox-JP.mtl albedos."""
@@ -67,12 +68,16 @@ def cornell_box(
     # left (red) / right (green) — CornellBox-JP convention
     _quad(vs, tris, mats, [-1, 0, 1], [-1, 0, -1], [-1, 2, -1], [-1, 2, 1], RED)
     _quad(vs, tris, mats, [1, 0, -1], [1, 0, 1], [1, 2, 1], [1, 2, -1], GREEN)
-    # ceiling light (slightly below ceiling, facing down)
-    _quad(
-        vs, tris, mats,
-        [-0.24, 1.98, 0.22], [-0.24, 1.98, -0.16], [0.23, 1.98, -0.16], [0.23, 1.98, 0.22],
-        LIGHT,
+    # ceiling light (slightly below ceiling, facing down); light_size scales
+    # the quad about its center (test scenes use larger emitters to condition
+    # BSDF-sampling estimators)
+    lq = np.array(
+        [[-0.24, 1.98, 0.22], [-0.24, 1.98, -0.16], [0.23, 1.98, -0.16], [0.23, 1.98, 0.22]],
+        np.float32,
     )
+    lc = lq.mean(0)
+    lq[:, [0, 2]] = lc[[0, 2]] + (lq[:, [0, 2]] - lc[[0, 2]]) * min(light_size, 3.9)
+    _quad(vs, tris, mats, lq[0], lq[1], lq[2], lq[3], LIGHT)
     # short box and tall box
     _box(vs, tris, mats, (0.05, 0.0, 0.0), (0.65, 0.6, 0.55), BOX, rot_y=-0.29)
     _box(vs, tris, mats, (-0.65, 0.0, -0.65), (-0.05, 1.2, -0.05), BOX, rot_y=0.31)

@@ -32,23 +32,30 @@ def main() -> None:
     opts = PTOptions(max_path_length=6)
     view = SceneView.build(cornell_box(glossy_boxes=True), cornell_camera())
 
-    @jax.jit
-    def one_pass(view, instance):
-        out = render_pass(view, opts, res, res, instance)
-        return out.composited.stack(), out.rays
-
-    # warmup/compile
-    img, rays = jax.block_until_ready(one_pass(view, jnp.uint32(0)))
-    rays_per_pass = float(rays)
-
     n_passes = 16
+
+    # all passes in ONE jitted fori_loop: measures device throughput, not
+    # the tunnel's ~50ms/dispatch round-trip latency
+    @jax.jit
+    def batch(view, instance0):
+        def body(i, carry):
+            acc, rays = carry
+            out = render_pass(view, opts, res, res, instance0 + i)
+            return (acc + out.composited.x, rays + out.rays)
+
+        return jax.lax.fori_loop(
+            0, n_passes, body,
+            (jnp.zeros(res * res, jnp.float32), jnp.zeros((), jnp.float32)),
+        )
+
+    img, rays = jax.block_until_ready(batch(view, jnp.uint32(0)))  # compile
+    total_rays = float(rays)
     t0 = time.perf_counter()
-    for i in range(1, n_passes + 1):
-        img, rays = one_pass(view, jnp.uint32(i))
+    img, rays = batch(view, jnp.uint32(n_passes))
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
 
-    mrays = rays_per_pass * n_passes / dt / 1e6
+    mrays = total_rays / dt / 1e6
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     vs = 1.0

@@ -81,10 +81,29 @@ class PTOptions(NamedTuple):
 
 
 def _pick_tracers(view: SceneView, opts: PTOptions):
-    use_brute = opts.tracer == "brute" or (
-        opts.tracer == "auto" and view.mesh.n_triangles <= 1024
-    )
-    if use_brute:
+    """Select the trace implementation (static, at trace time).
+
+    auto: small scenes use the dense all-triangles path — the Pallas VMEM
+    kernel on TPU, the XLA blocked fallback on CPU (Pallas interpret mode is
+    too slow for tests); large scenes use the skip-link BVH.
+    """
+    t = view.mesh.n_triangles
+    mode = opts.tracer
+    if mode == "auto":
+        if t <= 4096:
+            mode = "pallas" if jax.default_backend() in ("tpu", "axon") else "brute"
+        else:
+            mode = "bvh"
+    if mode == "pallas":
+        from fermat_tpu.ops.pallas_trace import trace_any_pallas, trace_closest_pallas
+
+        closest = lambda o, d, tmin, tmax, active: trace_closest_pallas(
+            view.mesh, o, d, tmin, tmax, active
+        )
+        anyhit = lambda o, d, tmin, tmax, active: trace_any_pallas(
+            view.mesh, o, d, tmin, tmax, active
+        )
+    elif mode == "brute":
         closest = lambda o, d, tmin, tmax, active: trace_closest_brute(
             view.mesh, o, d, tmin, tmax, active
         )
@@ -114,6 +133,7 @@ class _PassOutput(NamedTuple):
     depth: Array
     tri: Array
     normal: Vec3
+    position: Vec3
     uv: Array
     material: Array
     rays: Array  # scalar: rays traced this pass
@@ -165,6 +185,7 @@ def render_pass(
         g_depth: Array
         g_tri: Array
         g_normal: Vec3
+        g_pos: Vec3
         g_uv: Array
         g_mat: Array
         g_diff_albedo: Vec3
@@ -184,6 +205,7 @@ def render_pass(
         g_depth=jnp.full(n, jnp.inf, jnp.float32),
         g_tri=jnp.full(n, -1, jnp.int32),
         g_normal=zero3,
+        g_pos=zero3,
         g_uv=jnp.zeros((n, 2), jnp.float32),
         g_mat=jnp.full(n, -1, jnp.int32),
         g_diff_albedo=zero3,
@@ -237,6 +259,11 @@ def render_pass(
                     jnp.where(valid, sn_f.y, 0.0),
                     jnp.where(valid, sn_f.z, 0.0),
                 ),
+                g_pos=Vec3(
+                    jnp.where(valid, pos.x, 0.0),
+                    jnp.where(valid, pos.y, 0.0),
+                    jnp.where(valid, pos.z, 0.0),
+                ),
                 g_uv=jnp.where(valid[:, None], uv, 0.0),
                 g_mat=jnp.where(valid, mat_id, -1),
                 g_diff_albedo=Vec3(
@@ -256,7 +283,7 @@ def render_pass(
             opts.direct_lighting_bsdf or opts.indirect_lighting_bsdf
         )
         if show:
-            le = emitter_radiance(view.mesh, tri_c, wi)
+            le = emitter_radiance(view.mesh, tri_c, wi, gn=gn, mid=mat_id)
             if first:
                 w_mis = jnp.ones(n, jnp.float32)
             else:
@@ -467,6 +494,7 @@ def render_pass(
         depth=carry.g_depth,
         tri=carry.g_tri,
         normal=carry.g_normal,
+        position=carry.g_pos,
         uv=carry.g_uv,
         material=carry.g_mat,
         rays=carry.rays,

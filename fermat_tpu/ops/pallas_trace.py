@@ -11,9 +11,9 @@ The XLA fallback (fermat_tpu.accel.traverse.trace_closest_brute) computes the
 same function; this kernel keeps all (BLK, 128) intermediates in
 VMEM/registers instead of round-tripping them through HBM.
 
-Layout: rays are viewed as (n_groups, BLK) with one grid step per group;
-argmin is expressed purely with lane reductions (min + iota select) because
-Mosaic has no 2D gather.
+Layout: rays are (N, 1) columns blocked (BLK, 1) — rays ride the sublane
+dim, triangle tiles ride the 128 lanes; argmin is expressed purely with lane
+reductions (min + iota select) because Mosaic has no 2D gather.
 
 Runs in interpret mode on CPU (tests) and compiled on TPU.
 """
@@ -36,7 +36,7 @@ Array = jax.Array
 _EPS_DET = 1e-12
 TRI_TILE = 128
 DEF_BLK = 512
-_BIG = jnp.float32(3.0e38)
+_BIG = 3.0e38  # python float: jnp constants would be captured consts in the kernel
 
 
 def _interpret() -> bool:
@@ -69,15 +69,15 @@ def _trace_kernel(
     t_out, tri_out, u_out, v_out,
     *, n_tiles: int,
 ):
-    blk = ox_ref.shape[1]
-    ox = ox_ref[0, :].reshape(blk, 1)
-    oy = oy_ref[0, :].reshape(blk, 1)
-    oz = oz_ref[0, :].reshape(blk, 1)
-    dx = dx_ref[0, :].reshape(blk, 1)
-    dy = dy_ref[0, :].reshape(blk, 1)
-    dz = dz_ref[0, :].reshape(blk, 1)
-    tmin = tmin_ref[0, :].reshape(blk, 1)
-    tmax0 = tmax_ref[0, :].reshape(blk, 1)
+    blk = ox_ref.shape[0]
+    ox = ox_ref[:]
+    oy = oy_ref[:]
+    oz = oz_ref[:]
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+    tmin = tmin_ref[:]
+    tmax0 = tmax_ref[:]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (blk, TRI_TILE), 1)
 
@@ -136,10 +136,10 @@ def _trace_kernel(
         jnp.zeros((blk, 1), jnp.float32),
     )
     t_best, tri_best, u_best, v_best = jax.lax.fori_loop(0, n_tiles, tile, init)
-    t_out[0, :] = t_best.reshape(blk)
-    tri_out[0, :] = tri_best.reshape(blk)
-    u_out[0, :] = u_best.reshape(blk)
-    v_out[0, :] = v_best.reshape(blk)
+    t_out[:] = t_best
+    tri_out[:] = tri_best
+    u_out[:] = u_best
+    v_out[:] = v_best
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -150,29 +150,31 @@ def _trace_impl(tris, o, d, tmin, tmax, block: int):
     g = n_pad // block
 
     def pr(a):
-        return jnp.pad(a, (0, pad)).reshape(g, block)
+        return jnp.pad(a, (0, pad)).reshape(n_pad, 1)
 
     rays = tuple(pr(a) for a in (*o, *d, tmin, tmax))
     tp = tris[0].shape[1]
     n_tiles = tp // TRI_TILE
 
-    ray_spec = pl.BlockSpec((1, block), lambda i: (i, 0))
+    # rays: (N,1) columns blocked (block,1) — rays on sublanes; triangles:
+    # full (1,Tp) rows resident in VMEM across all grid steps
+    ray_spec = pl.BlockSpec((block, 1), lambda i: (i, 0))
     tri_spec = pl.BlockSpec((1, tp), lambda i: (0, 0))
-    out_spec = pl.BlockSpec((1, block), lambda i: (i, 0))
+    out_spec = pl.BlockSpec((block, 1), lambda i: (i, 0))
     t, tri, u, v = pl.pallas_call(
         functools.partial(_trace_kernel, n_tiles=n_tiles),
         out_shape=[
-            jax.ShapeDtypeStruct((g, block), jnp.float32),
-            jax.ShapeDtypeStruct((g, block), jnp.int32),
-            jax.ShapeDtypeStruct((g, block), jnp.float32),
-            jax.ShapeDtypeStruct((g, block), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ],
         grid=(g,),
         in_specs=[ray_spec] * 8 + [tri_spec] * 9,
         out_specs=[out_spec] * 4,
         interpret=_interpret(),
     )(*rays, *tris)
-    flat = lambda a: a.reshape(n_pad)[:n]
+    flat = lambda a: a.reshape(n_pad)[:n]  # (N,1) -> (N,)
     return flat(t), flat(tri), flat(u), flat(v)
 
 

@@ -76,6 +76,7 @@ def render_pass_sharded(
         depth=P(AXIS),
         tri=P(AXIS),
         normal=P(AXIS),
+        position=P(AXIS),
         uv=P(AXIS),
         material=P(AXIS),
         rays=P(),

@@ -41,7 +41,15 @@ def _pt_factory(**kw):
     return pt_mod.render_pass, opts
 
 
+def _bpt_factory(**kw):
+    from fermat_tpu.integrators import bpt as bpt_mod
+
+    opts = bpt_mod.BPTOptions(**kw)
+    return bpt_mod.render_pass_fb, opts
+
+
 register_renderer("pt", _pt_factory)
+register_renderer("bpt", _bpt_factory)
 
 
 @dataclass
@@ -53,6 +61,7 @@ class RenderingContext:
     renderer_options: dict = field(default_factory=dict)
     seed: int = 0
     fb: Framebuffer = None
+    gbuffer: Optional[dict] = None
     instance: int = 0
     _pass_fn: Optional[Callable] = None
     stats: dict = field(default_factory=dict)
@@ -92,7 +101,7 @@ class RenderingContext:
             out = pass_fn(view, opts, res_x, res_y, instance, seed)
             shape = (res_y, res_x, 3)
             img = lambda v: jnp.reshape(v.stack(), shape)
-            return fb.accumulate_pass(
+            new_fb = fb.accumulate_pass(
                 instance,
                 img(out.diffuse),
                 img(out.specular),
@@ -101,6 +110,13 @@ class RenderingContext:
                 img(out.diffuse_albedo),
                 img(out.specular_albedo),
             )
+            gbuf = {
+                "normal": img(out.normal),
+                "position": img(out.position),
+                "miss": jnp.reshape(out.tri < 0, (res_y, res_x)),
+                "depth": jnp.reshape(out.depth, (res_y, res_x)),
+            }
+            return new_fb, gbuf
 
         self._pass_fn = jax.jit(one_pass)
 
@@ -110,13 +126,54 @@ class RenderingContext:
             self._build_pass()
         for _ in range(n_passes):
             t0 = time.perf_counter()
-            self.fb = self._pass_fn(self.view, self.fb, jnp.uint32(self.instance))
+            self.fb, self.gbuffer = self._pass_fn(
+                self.view, self.fb, jnp.uint32(self.instance)
+            )
             self.fb = jax.block_until_ready(self.fb)
             dt = time.perf_counter() - t0
             self.stats.setdefault("pass_times", []).append(dt)
             if progress:
                 print(f"pass {self.instance}: {dt*1e3:.1f} ms")
             self.instance += 1
+        return self.fb
+
+    def render_batch(self, n_passes: int) -> Framebuffer:
+        """Progressive render with ALL passes inside one jitted fori_loop.
+
+        On the tunneled TPU backend each dispatch costs ~50 ms of round-trip
+        latency (device compute for a 256^2 pass is ~13 ms) — batching the
+        progressive loop in-graph is the difference between tunnel-bound and
+        compute-bound rendering. Accumulation math matches render().
+        """
+        if self._pass_fn is None:
+            self._build_pass()
+        key = ("batch", n_passes)
+        if key not in self.stats:
+            pass_fn, opts = _RENDERER_REGISTRY[self.renderer](**self.renderer_options)
+            res_x, res_y, seed = self.res_x, self.res_y, self.seed
+
+            def batch(view: SceneView, fb: Framebuffer, instance0):
+                def body(i, fb):
+                    out = pass_fn(view, opts, res_x, res_y, instance0 + i, seed)
+                    shape = (res_y, res_x, 3)
+                    img = lambda v: jnp.reshape(v.stack(), shape)
+                    return fb.accumulate_pass(
+                        instance0 + i,
+                        img(out.diffuse), img(out.specular), img(out.direct),
+                        img(out.composited), img(out.diffuse_albedo),
+                        img(out.specular_albedo),
+                    )
+
+                return jax.lax.fori_loop(0, n_passes, body, fb)
+
+            self.stats[key] = jax.jit(batch)
+        t0 = time.perf_counter()
+        self.fb = jax.block_until_ready(
+            self.stats[key](self.view, self.fb, jnp.uint32(self.instance))
+        )
+        dt = time.perf_counter() - t0
+        self.instance += n_passes
+        self.stats.setdefault("batch_times", []).append((n_passes, dt))
         return self.fb
 
     def restart(self) -> None:
@@ -130,6 +187,21 @@ class RenderingContext:
 
     def hdr_image(self) -> np.ndarray:
         return np.asarray(self.fb.composited)
+
+    def filtered_image(self, exposure: float = 1.0, gamma: float = 2.2) -> np.ndarray:
+        """EAW-denoised output (renderer.cu kFiltered path)."""
+        from fermat_tpu.render.denoise import denoise
+
+        assert self.gbuffer is not None, "render at least one pass first"
+        out = denoise(
+            self.fb,
+            self.gbuffer["normal"],
+            self.gbuffer["position"],
+            self.gbuffer["miss"],
+            self.view.camera,
+            instance=self.instance - 1,
+        )
+        return np.asarray(to_rgba8(out, exposure, gamma))
 
     def rmse_vs(self, ref_hdr: np.ndarray) -> float:
         return float(rmse(self.fb.composited, jnp.asarray(ref_hdr)))

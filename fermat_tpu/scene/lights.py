@@ -71,13 +71,10 @@ class MeshLightsView(NamedTuple):
             jnp.searchsorted(self.cdf, u2, side="right"), 0, self.cdf.shape[0] - 1
         ).astype(jnp.int32)
         b0, b1 = square_to_uniform_triangle(u0, u1)
-        # position at barycentric (u=b0 relative to e1, v=b1 relative to e2)
-        p0 = mesh.p0.gather(tri)
-        pos = p0 + mesh.e1.gather(tri) * b0 + mesh.e2.gather(tri) * b1
-        n = mesh.gn.gather(tri)
-        em = mesh.materials.emissive
-        mid = mesh.material_id[tri]
-        le = Vec3(em.x[mid], em.y[mid], em.z[mid])
+        # one packed row fetch (one-hot MXU matmul for small meshes)
+        p0, e1, e2, n, _, _, _, _, _, _, mid = mesh.fetch(tri)
+        pos = p0 + e1 * b0 + e2 * b1
+        le = _emissive_of(mesh, mid)
         pdf = self.pdf_area[tri]
         return pos, n, le, pdf, tri
 
@@ -86,17 +83,35 @@ class MeshLightsView(NamedTuple):
         return self.pdf_area[jnp.maximum(tri, 0)]
 
 
-def emitter_radiance(mesh: MeshView, tri: Array, wo_world: Vec3) -> Vec3:
-    """Le leaving a surface toward wo_world (front side only) — edf.h Lambert."""
-    n = mesh.gn.gather(jnp.maximum(tri, 0))
-    front = dot(n, wo_world) > 0.0
+def _emissive_of(mesh: MeshView, mid: Array) -> Vec3:
+    """Per-lane emissive fetch via one-hot matmul over the tiny table."""
+    from fermat_tpu.ops.gather import gather_rows
+
     em = mesh.materials.emissive
-    mid = mesh.material_id[jnp.maximum(tri, 0)]
-    z = jnp.zeros_like(n.x)
+    rows = gather_rows(jnp.stack([em.x, em.y, em.z], axis=1), mid)
+    return Vec3(rows[:, 0], rows[:, 1], rows[:, 2])
+
+
+def emitter_radiance(
+    mesh: MeshView, tri: Array, wo_world: Vec3, gn: Vec3 = None, mid: Array = None
+) -> Vec3:
+    """Le leaving a surface toward wo_world (front side only) — edf.h Lambert.
+
+    Pass (gn, mid) when already fetched at the hit to avoid a second row
+    fetch (the PT shade path has them from interpolate()).
+    """
+    if gn is None or mid is None:
+        tri_c = jnp.maximum(tri, 0)
+        p0, e1, e2, gn_f, *_rest, mid_f = mesh.fetch(tri_c)
+        gn = gn_f if gn is None else gn
+        mid = mid_f if mid is None else mid
+    front = dot(gn, wo_world) > 0.0
+    le = _emissive_of(mesh, mid)
+    z = jnp.zeros_like(gn.x)
     return Vec3(
-        jnp.where(front, em.x[mid], z),
-        jnp.where(front, em.y[mid], z),
-        jnp.where(front, em.z[mid], z),
+        jnp.where(front, le.x, z),
+        jnp.where(front, le.y, z),
+        jnp.where(front, le.z, z),
     )
 
 

@@ -48,9 +48,50 @@ class MaterialTable(NamedTuple):
     def count(self) -> int:
         return self.roughness.shape[0]
 
+    def packed_rows(self) -> Array:
+        """Float fields as one (M, 19) row matrix (see ops.gather rationale):
+        diffuse(0:3) specular(3:6) emissive(6:9) diffuse_trans(9:12)
+        reflectivity(12:15) roughness(15) ior(16) opacity(17) flags(18)."""
+        return jnp.stack(
+            [
+                self.diffuse.x, self.diffuse.y, self.diffuse.z,
+                self.specular.x, self.specular.y, self.specular.z,
+                self.emissive.x, self.emissive.y, self.emissive.z,
+                self.diffuse_trans.x, self.diffuse_trans.y, self.diffuse_trans.z,
+                self.reflectivity.x, self.reflectivity.y, self.reflectivity.z,
+                self.roughness, self.ior, self.opacity,
+                self.flags.astype(jnp.float32),
+            ],
+            axis=1,
+        )
+
     def gather(self, mat_id: Array) -> "MaterialTable":
-        """Per-lane material fetch: returns a MaterialTable of (N,) arrays."""
-        return jax.tree_util.tree_map(lambda a: a[mat_id], self)
+        """Per-lane material fetch: returns a MaterialTable of (N,) arrays.
+
+        Uses a one-hot MXU matmul over the packed row matrix — material
+        tables are tiny, so this removes ~20 scalar gathers per lane
+        (texture-slot ids are fetched as plain gathers only because they are
+        not needed on hot shading lanes yet).
+        """
+        from fermat_tpu.ops.gather import gather_rows
+
+        r = gather_rows(self.packed_rows(), mat_id)
+        vec = lambda c: Vec3(r[:, c], r[:, c + 1], r[:, c + 2])
+        return MaterialTable(
+            diffuse=vec(0),
+            specular=vec(3),
+            emissive=vec(6),
+            diffuse_trans=vec(9),
+            reflectivity=vec(12),
+            roughness=r[:, 15],
+            ior=r[:, 16],
+            opacity=r[:, 17],
+            flags=jnp.round(r[:, 18]).astype(jnp.int32),
+            diffuse_map=self.diffuse_map[mat_id],
+            specular_map=self.specular_map[mat_id],
+            emissive_map=self.emissive_map[mat_id],
+            bump_map=self.bump_map[mat_id],
+        )
 
     @staticmethod
     def from_host(mats: "list[HostMaterial]") -> "MaterialTable":

@@ -164,6 +164,47 @@ class MeshView(NamedTuple):
     def n_triangles(self) -> int:
         return self.material_id.shape[0]
 
+    def packed_rows(self) -> Array:
+        """All per-triangle attributes as one (T, 28) row matrix.
+
+        Column layout: p0(0:3) e1(3:6) e2(6:9) gn(9:12) n0(12:15) n1(15:18)
+        n2(18:21) uv0(21:23) uv1(23:25) uv2(25:27) mat_id(27).
+        Built inside jit (XLA folds/CSEs it); lets a hit fetch move one row
+        instead of ~28 scalar gathers — and become a single one-hot MXU
+        matmul for small meshes (fermat_tpu.ops.gather).
+        """
+        return jnp.stack(
+            [
+                self.p0.x, self.p0.y, self.p0.z,
+                self.e1.x, self.e1.y, self.e1.z,
+                self.e2.x, self.e2.y, self.e2.z,
+                self.gn.x, self.gn.y, self.gn.z,
+                self.n0.x, self.n0.y, self.n0.z,
+                self.n1.x, self.n1.y, self.n1.z,
+                self.n2.x, self.n2.y, self.n2.z,
+                self.uv0[:, 0], self.uv0[:, 1],
+                self.uv1[:, 0], self.uv1[:, 1],
+                self.uv2[:, 0], self.uv2[:, 1],
+                self.material_id.astype(jnp.float32),
+            ],
+            axis=1,
+        )
+
+    def fetch(self, tri: Array):
+        """Row fetch of all triangle attributes for hit lanes.
+
+        Returns (p0, e1, e2, gn, n0, n1, n2, uv0, uv1, uv2, mat_id).
+        """
+        from fermat_tpu.ops.gather import gather_rows
+
+        rows = gather_rows(self.packed_rows(), tri)
+        vec = lambda c: Vec3(rows[:, c], rows[:, c + 1], rows[:, c + 2])
+        return (
+            vec(0), vec(3), vec(6), vec(9), vec(12), vec(15), vec(18),
+            rows[:, 21:23], rows[:, 23:25], rows[:, 25:27],
+            jnp.round(rows[:, 27]).astype(jnp.int32),
+        )
+
     def interpolate(self, tri: Array, u: Array, v: Array):
         """Differential geometry at hit (tri, u, v) — setup_differential_geometry
         (src/vertex.h:69-115, src/mesh_utils.h) analog.
@@ -171,21 +212,12 @@ class MeshView(NamedTuple):
         Returns (position Vec3, geometric normal Vec3, shading normal Vec3,
         uv (N,2), material ids).
         """
-        p0 = self.p0.gather(tri)
-        e1 = self.e1.gather(tri)
-        e2 = self.e2.gather(tri)
+        p0, e1, e2, gn, n0, n1, n2, uv0, uv1, uv2, mat_id = self.fetch(tri)
         pos = p0 + e1 * u + e2 * v
-        gn = self.gn.gather(tri)
         w = 1.0 - u - v
-        n = normalize(
-            self.n0.gather(tri) * w + self.n1.gather(tri) * u + self.n2.gather(tri) * v
-        )
-        uv = (
-            self.uv0[tri] * w[:, None]
-            + self.uv1[tri] * u[:, None]
-            + self.uv2[tri] * v[:, None]
-        )
-        return pos, gn, n, uv, self.material_id[tri]
+        n = normalize(n0 * w + n1 * u + n2 * v)
+        uv = uv0 * w[:, None] + uv1 * u[:, None] + uv2 * v[:, None]
+        return pos, gn, n, uv, mat_id
 
     def triangle_areas(self) -> Array:
         c = cross(self.e1, self.e2)

@@ -170,6 +170,8 @@ def render_pass(
 
     zero3 = Vec3.zeros((n,))
     eps = opts.ray_eps
+    # primary ray-cone spread angle ~ one pixel (pathtracer cone init)
+    cone_spread = jnp.tan(view.camera.fov * 0.5) * 2.0 / res_x
 
     class Carry(NamedTuple):
         o: Vec3
@@ -191,6 +193,7 @@ def render_pass(
         g_diff_albedo: Vec3
         g_spec_albedo: Vec3
         rays: Array  # scalar f32 — total traced rays (closest + shadow)
+        cone_width: Array  # ray-cone footprint radius (texture LOD)
 
     carry = Carry(
         o=o,
@@ -211,6 +214,7 @@ def render_pass(
         g_diff_albedo=zero3,
         g_spec_albedo=zero3,
         rays=jnp.zeros((), jnp.float32),
+        cone_width=jnp.zeros(n, jnp.float32),
     )
 
     def add_routed(c: Carry, contrib: Vec3, mask: Array, channel: Array) -> Carry:
@@ -248,6 +252,29 @@ def render_pass(
 
         mats = view.mesh.materials.gather(mat_id)
         params = BsdfParams.from_materials(mats)
+
+        # ---- texture modulation with ray-cone LOD (texture_view.h sampling
+        # + pathtracer_core.h cone tracking) ----
+        cone_w = c.cone_width + jnp.where(valid, hit.t, 0.0) * cone_spread
+        c = c._replace(cone_width=cone_w)
+        if view.has_textures:
+            from fermat_tpu.scene.textures import modulate
+
+            lod_base = view.mesh.fetch_lod_base(tri_c)
+            d_tex = mats.diffuse_map
+            res0 = view.textures.width[jnp.maximum(d_tex, 0), 0].astype(jnp.float32)
+            lod = (
+                lod_base
+                + jnp.log2(jnp.maximum(cone_w, 1e-8))
+                + jnp.log2(jnp.maximum(res0, 1.0))
+            )
+            rgba_d = view.textures.sample(d_tex, uv[:, 0], uv[:, 1], lod)
+            s_tex = mats.specular_map
+            rgba_s = view.textures.sample(s_tex, uv[:, 0], uv[:, 1], lod)
+            params = params._replace(
+                diffuse=modulate(params.diffuse, rgba_d),
+                specular=modulate(params.specular, rgba_s),
+            )
 
         # ---- gbuffer at the first hit (renderer_view GBuffer) ----
         if first:

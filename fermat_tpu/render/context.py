@@ -75,9 +75,10 @@ class RenderingContext:
         renderer: str = "pt",
         dir_lights=(),
         seed: int = 0,
+        texture_dir=None,
         **renderer_options,
     ) -> "RenderingContext":
-        view = SceneView.build(storage, camera, dir_lights)
+        view = SceneView.build(storage, camera, dir_lights, texture_dir=texture_dir)
         ctx = RenderingContext(
             view=view,
             res_x=res_x,

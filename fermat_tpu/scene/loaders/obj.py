@@ -20,6 +20,11 @@ from fermat_tpu.scene.materials import HostMaterial
 from fermat_tpu.scene.mesh import MeshStorage
 
 
+def _texpath(name: str) -> str:
+    """Normalize Windows-style texture paths (bathroom.mtl uses backslashes)."""
+    return name.replace("\\", "/")
+
+
 def load_mtl(path: str) -> List[HostMaterial]:
     mats: List[HostMaterial] = []
     cur: Optional[HostMaterial] = None
@@ -54,13 +59,13 @@ def load_mtl(path: str) -> List[HostMaterial]:
             elif key == "Tr":
                 cur.opacity = 1.0 - float(tok[1])
             elif key == "map_Kd":
-                cur.diffuse_map_name = tok[-1]
+                cur.diffuse_map_name = _texpath(tok[-1])
             elif key == "map_Ks":
-                cur.specular_map_name = tok[-1]
+                cur.specular_map_name = _texpath(tok[-1])
             elif key == "map_Ke":
-                cur.emissive_map_name = tok[-1]
+                cur.emissive_map_name = _texpath(tok[-1])
             elif key in ("map_Bump", "map_bump", "bump"):
-                cur.bump_map_name = tok[-1]
+                cur.bump_map_name = _texpath(tok[-1])
     return mats
 
 

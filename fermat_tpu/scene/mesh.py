@@ -119,6 +119,14 @@ class MeshStorage:
             corner_uv[ok] = self.uvs[np.where(ok, ui, 0)][ok]
 
         mat = [m.finalize_flags() for m in self.materials] or [HostMaterial("default")]
+        # texture-LOD base: uv-space area vs world-space area per triangle
+        wld_area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=1)
+        uv_e1 = corner_uv[:, 1] - corner_uv[:, 0]
+        uv_e2 = corner_uv[:, 2] - corner_uv[:, 0]
+        uv_area = 0.5 * np.abs(uv_e1[:, 0] * uv_e2[:, 1] - uv_e1[:, 1] * uv_e2[:, 0])
+        lod_base = 0.5 * np.log2(
+            (uv_area + 1e-20) / (wld_area + 1e-20)
+        ).astype(np.float32)
         j = jnp.asarray
         return MeshView(
             p0=Vec3(j(p0[:, 0]), j(p0[:, 1]), j(p0[:, 2])),
@@ -136,6 +144,7 @@ class MeshStorage:
                 if self.material_ids.shape[0]
                 else np.zeros(self.n_triangles, np.int32)
             ),
+            lod_base=j(lod_base),
             materials=MaterialTable.from_host(mat),
         )
 
@@ -158,6 +167,7 @@ class MeshView(NamedTuple):
     uv1: Array
     uv2: Array
     material_id: Array  # (T,)
+    lod_base: Array  # (T,) 0.5*log2(uv_area/world_area) for ray-cone LOD
     materials: MaterialTable
 
     @property
@@ -186,6 +196,7 @@ class MeshView(NamedTuple):
                 self.uv1[:, 0], self.uv1[:, 1],
                 self.uv2[:, 0], self.uv2[:, 1],
                 self.material_id.astype(jnp.float32),
+                self.lod_base,
             ],
             axis=1,
         )
@@ -204,6 +215,12 @@ class MeshView(NamedTuple):
             rows[:, 21:23], rows[:, 23:25], rows[:, 25:27],
             jnp.round(rows[:, 27]).astype(jnp.int32),
         )
+
+    def fetch_lod_base(self, tri: Array) -> Array:
+        """Per-tri texture-LOD base = 0.5*log2(uv_area/world_area) (ray cones)."""
+        from fermat_tpu.ops.gather import gather_rows
+
+        return gather_rows(self.packed_rows(), tri)[:, 28]
 
     def interpolate(self, tri: Array, u: Array, v: Array):
         """Differential geometry at hit (tri, u, v) — setup_differential_geometry

@@ -1,0 +1,156 @@
+"""Texture storage + mipmapped sampling.
+
+Reference: src/texture.h:53-110 (TextureStorage/MipMapStorage),
+src/texture_view.h (TextureView/MipMapView), loading at renderer.cu:784-882
+(TGA/PFM -> float4 mip chains), and the ray-cone LOD selection of the PT
+(pathtracer_core.h ray-cone footprint tracking).
+
+TPU design: XLA needs static shapes, so all mip levels of all textures are
+packed into ONE flat (S, 4) texel array plus a small (n_tex, n_levels)
+offset/size table. A lookup is 4 texel gathers (bilinear) at a computed
+level — the only irreducibly-gathering op in the renderer (the atlas is far
+too large for one-hot matmuls).
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fermat_tpu.core.math import Vec3
+
+Array = jax.Array
+
+MAX_LEVELS = 12  # up to 2048x2048
+
+
+def _mip_chain(img: np.ndarray) -> List[np.ndarray]:
+    """Full mip pyramid by 2x2 box filter (MipMapStorage::generate_mips)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, -1)
+    if img.shape[2] == 3:
+        img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
+    # pad to pow2
+    h, w = img.shape[:2]
+    hp = 1 << max(int(np.ceil(np.log2(max(h, 1)))), 0)
+    wp = 1 << max(int(np.ceil(np.log2(max(w, 1)))), 0)
+    if (hp, wp) != (h, w):
+        yi = np.minimum(np.arange(hp) * h // hp, h - 1)
+        xi = np.minimum(np.arange(wp) * w // wp, w - 1)
+        img = img[yi][:, xi]
+    chain = [img]
+    while img.shape[0] > 1 or img.shape[1] > 1:
+        h2 = max(img.shape[0] // 2, 1)
+        w2 = max(img.shape[1] // 2, 1)
+        img = img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, 4).mean((1, 3))
+        chain.append(img.astype(np.float32))
+    return chain[:MAX_LEVELS]
+
+
+class TextureAtlas(NamedTuple):
+    """Packed mip atlas (device)."""
+
+    texels: Array  # (S, 4) f32
+    offset: Array  # (n_tex, MAX_LEVELS) i32 — start index of each level
+    width: Array  # (n_tex, MAX_LEVELS) i32
+    height: Array  # (n_tex, MAX_LEVELS) i32
+    n_levels: Array  # (n_tex,) i32
+
+    @property
+    def count(self) -> int:
+        return self.n_levels.shape[0]
+
+    @staticmethod
+    def build(images: List[np.ndarray]) -> "TextureAtlas":
+        """Pack a list of HxWx{1,3,4} float images (empty list -> 1 white 1x1)."""
+        if not images:
+            images = [np.ones((1, 1, 4), np.float32)]
+        texels = []
+        offs = np.zeros((len(images), MAX_LEVELS), np.int64)
+        ws = np.ones((len(images), MAX_LEVELS), np.int64)
+        hs = np.ones((len(images), MAX_LEVELS), np.int64)
+        nl = np.zeros(len(images), np.int64)
+        cursor = 0
+        for ti, img in enumerate(images):
+            chain = _mip_chain(img)
+            nl[ti] = len(chain)
+            for li, level in enumerate(chain):
+                offs[ti, li] = cursor
+                hs[ti, li] = level.shape[0]
+                ws[ti, li] = level.shape[1]
+                texels.append(level.reshape(-1, 4))
+                cursor += level.shape[0] * level.shape[1]
+            # clamp the tail so out-of-range lods read the last level
+            for li in range(len(chain), MAX_LEVELS):
+                offs[ti, li] = offs[ti, len(chain) - 1]
+                hs[ti, li] = hs[ti, len(chain) - 1]
+                ws[ti, li] = ws[ti, len(chain) - 1]
+        j = jnp.asarray
+        return TextureAtlas(
+            texels=j(np.concatenate(texels, 0)),
+            offset=j(offs.astype(np.int32)),
+            width=j(ws.astype(np.int32)),
+            height=j(hs.astype(np.int32)),
+            n_levels=j(nl.astype(np.int32)),
+        )
+
+    def _level_fetch(self, tex: Array, level: Array, u: Array, v: Array):
+        """Bilinear fetch at an integer mip level; wrap addressing."""
+        off = self.offset[tex, level]
+        w = self.width[tex, level]
+        h = self.height[tex, level]
+        fu = u * w.astype(jnp.float32) - 0.5
+        fv = v * h.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(fu)
+        y0 = jnp.floor(fv)
+        tx = fu - x0
+        ty = fv - y0
+        x0i = jnp.mod(x0.astype(jnp.int32), w)
+        y0i = jnp.mod(y0.astype(jnp.int32), h)
+        x1i = jnp.mod(x0i + 1, w)
+        y1i = jnp.mod(y0i + 1, h)
+
+        def tap(xi, yi):
+            return self.texels[off + yi * w + xi]  # (N, 4)
+
+        c00 = tap(x0i, y0i)
+        c10 = tap(x1i, y0i)
+        c01 = tap(x0i, y1i)
+        c11 = tap(x1i, y1i)
+        tx = tx[:, None]
+        ty = ty[:, None]
+        return (
+            c00 * (1 - tx) * (1 - ty)
+            + c10 * tx * (1 - ty)
+            + c01 * (1 - tx) * ty
+            + c11 * tx * ty
+        )
+
+    def sample(self, tex: Array, u: Array, v: Array, lod: Array = None) -> Array:
+        """Trilinear (mipmapped bilinear) sample; tex < 0 returns white.
+
+        u, v in [0,1] (wrapped); lod in mip-level units (None -> level 0).
+        Returns (N, 4) RGBA.
+        """
+        tex_c = jnp.maximum(tex, 0)
+        max_l = (self.n_levels[tex_c] - 1).astype(jnp.float32)
+        if lod is None:
+            rgba = self._level_fetch(tex_c, jnp.zeros_like(tex_c), u, v)
+        else:
+            l = jnp.clip(lod, 0.0, max_l)
+            l0 = jnp.floor(l).astype(jnp.int32)
+            l1 = jnp.minimum(l0 + 1, max_l.astype(jnp.int32))
+            f = (l - l0)[:, None]
+            rgba = (
+                self._level_fetch(tex_c, l0, u, v) * (1 - f)
+                + self._level_fetch(tex_c, l1, u, v) * f
+            )
+        white = jnp.ones_like(rgba)
+        return jnp.where((tex < 0)[:, None], white, rgba)
+
+
+def modulate(color: Vec3, rgba: Array) -> Vec3:
+    return Vec3(color.x * rgba[:, 0], color.y * rgba[:, 1], color.z * rgba[:, 2])

@@ -2,19 +2,27 @@
 
 Reference analog: RenderingContextView (src/renderer_view.h:80-131), the
 plain device view of the whole context passed by value into kernels. Here it
-is a pytree: jit-stable, shardable, and differentiable (material fields
-inside mesh.materials are leaves gradients can flow into).
+is a pytree: jit-stable, shardable, and differentiable (material fields and
+the texture atlas inside it are leaves gradients can flow into).
+
+Texture loading mirrors renderer.cu:784-882: every texture file referenced
+by a material is loaded into the packed mip atlas and the material's map
+slots become atlas indices.
 """
 from __future__ import annotations
 
+import os
+import sys
 from typing import NamedTuple, Optional
 
 import jax
+import numpy as np
 
 from fermat_tpu.accel.bvh import BvhView, build_bvh_for_mesh
 from fermat_tpu.core.camera import Camera
 from fermat_tpu.scene.lights import DirectionalLightsView, MeshLightsView
 from fermat_tpu.scene.mesh import MeshStorage, MeshView
+from fermat_tpu.scene.textures import TextureAtlas
 
 
 class SceneView(NamedTuple):
@@ -23,6 +31,12 @@ class SceneView(NamedTuple):
     lights: MeshLightsView
     dir_lights: DirectionalLightsView
     camera: Camera
+    textures: TextureAtlas
+
+    @property
+    def has_textures(self) -> bool:
+        """Static: whether any real texture was loaded (checked at trace time)."""
+        return self.textures.texels.shape[0] > 1
 
     @staticmethod
     def build(
@@ -30,9 +44,49 @@ class SceneView(NamedTuple):
         camera: Camera,
         dir_light_defs=(),
         leaf_size: int = 4,
+        texture_dir: Optional[str] = None,
     ) -> "SceneView":
+        # resolve texture files referenced by materials (renderer.cu:784-882)
+        images = []
+        index = {}
+
+        def tex_index(name: str) -> int:
+            if not name:
+                return -1
+            if name in index:
+                return index[name]
+            candidates = [name]
+            if texture_dir:
+                candidates.insert(0, os.path.join(texture_dir, name))
+                # prefer TGA siblings (the reference ships .tga for every .png)
+                base, _ = os.path.splitext(name)
+                candidates.insert(0, os.path.join(texture_dir, base + ".tga"))
+            for c in candidates:
+                if os.path.exists(c):
+                    from fermat_tpu.utils.image import read_image
+
+                    try:
+                        images.append(read_image(c))
+                        index[name] = len(images) - 1
+                        return index[name]
+                    except Exception as e:  # noqa: BLE001
+                        print(f"[textures] failed {c}: {e}", file=sys.stderr)
+            print(f"[textures] missing texture {name}", file=sys.stderr)
+            index[name] = -1
+            return -1
+
+        for m in storage.materials:
+            m.diffuse_map = tex_index(m.diffuse_map_name)
+            m.specular_map = tex_index(m.specular_map_name)
+            m.emissive_map = tex_index(m.emissive_map_name)
+            m.bump_map = tex_index(m.bump_map_name)
+
         mesh = storage.device_view()
         bvh = build_bvh_for_mesh(mesh, leaf_size=leaf_size)
         lights = MeshLightsView.build(mesh)
         dl = DirectionalLightsView.build(list(dir_light_defs))
-        return SceneView(mesh=mesh, bvh=bvh, lights=lights, dir_lights=dl, camera=camera)
+        atlas = TextureAtlas.build(images)
+        return SceneView(
+            mesh=mesh, bvh=bvh, lights=lights, dir_lights=dl, camera=camera,
+            textures=atlas,
+        )

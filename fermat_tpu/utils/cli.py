@@ -154,7 +154,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     ctx = RenderingContext.create(
         mesh, camera, res[0], res[1], renderer=renderer,
-        dir_lights=dir_lights, seed=seed, **opts,
+        dir_lights=dir_lights, seed=seed,
+        texture_dir=os.path.dirname(os.path.abspath(scene_path)), **opts,
     )
 
     ref_img = read_image(ref_path) if ref_path else None

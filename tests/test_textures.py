@@ -1,0 +1,88 @@
+"""Texture atlas + mipmapped sampling + PT integration tests."""
+import jax.numpy as jnp
+import numpy as np
+
+from fermat_tpu.scene.textures import TextureAtlas
+from fermat_tpu.scene.procedural import cornell_box, cornell_camera
+from fermat_tpu.render.context import RenderingContext
+
+
+def checkerboard(n=64, a=1.0, b=0.0):
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    c = ((xx // 8 + yy // 8) % 2).astype(np.float32)
+    img = np.where(c[..., None] > 0, a, b) * np.ones((n, n, 3), np.float32)
+    return img
+
+
+class TestAtlas:
+    def test_level0_exact(self):
+        img = np.zeros((4, 4, 3), np.float32)
+        img[0, 0] = [1, 0, 0]
+        img[3, 3] = [0, 1, 0]
+        atlas = TextureAtlas.build([img])
+        t = jnp.zeros(2, jnp.int32)
+        # texel centers
+        u = jnp.asarray([0.5 / 4, 3.5 / 4])
+        v = jnp.asarray([0.5 / 4, 3.5 / 4])
+        rgba = atlas.sample(t, u, v)
+        np.testing.assert_allclose(np.asarray(rgba[0, :3]), [1, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rgba[1, :3]), [0, 1, 0], atol=1e-6)
+
+    def test_top_mip_is_mean(self):
+        img = checkerboard(32)
+        atlas = TextureAtlas.build([img])
+        t = jnp.zeros(1, jnp.int32)
+        rgba = atlas.sample(t, jnp.asarray([0.5]), jnp.asarray([0.5]), jnp.asarray([20.0]))
+        np.testing.assert_allclose(np.asarray(rgba[0, :3]), img.mean((0, 1)), atol=1e-5)
+
+    def test_negative_texture_is_white(self):
+        atlas = TextureAtlas.build([checkerboard(8)])
+        rgba = atlas.sample(jnp.asarray([-1]), jnp.asarray([0.3]), jnp.asarray([0.7]))
+        np.testing.assert_allclose(np.asarray(rgba[0]), 1.0)
+
+    def test_bilinear_interpolates(self):
+        img = np.zeros((2, 2, 3), np.float32)
+        img[0, 0] = 1.0
+        atlas = TextureAtlas.build([img])
+        # center of the texture: average of 4 texels = 0.25
+        rgba = atlas.sample(jnp.zeros(1, jnp.int32), jnp.asarray([0.5]), jnp.asarray([0.5]))
+        np.testing.assert_allclose(np.asarray(rgba[0, :3]), 0.25, atol=1e-6)
+
+    def test_multiple_textures_packed(self):
+        a = np.full((4, 4, 3), 0.25, np.float32)
+        b = np.full((8, 8, 3), 0.75, np.float32)
+        atlas = TextureAtlas.build([a, b])
+        t = jnp.asarray([0, 1])
+        u = jnp.full(2, 0.5)
+        rgba = atlas.sample(t, u, u)
+        np.testing.assert_allclose(np.asarray(rgba[:, 0]), [0.25, 0.75], atol=1e-6)
+
+
+class TestTexturedRender:
+    def test_textured_cornell(self, tmp_path):
+        # give the floor a checkerboard diffuse map
+        scene = cornell_box()
+        import fermat_tpu.utils.image as im
+
+        tex_file = str(tmp_path / "check.tga")
+        im.write_tga(tex_file, checkerboard(64, 1.0, 0.1))
+        scene.materials[0].diffuse_map_name = tex_file
+        # floor quad needs uvs: give all tris simple planar uvs
+        import numpy as np
+
+        T = scene.n_triangles
+        scene.uvs = np.asarray([[0, 0], [4, 0], [4, 4], [0, 4]], np.float32)
+        tri_uv = np.zeros((T, 3), np.int32)
+        tri_uv[0] = [0, 1, 2]
+        tri_uv[1] = [0, 2, 3]
+        scene.uv_indices = tri_uv
+        ctx = RenderingContext.create(
+            scene, cornell_camera(), 32, 32, renderer="pt", max_path_length=2
+        )
+        assert ctx.view.has_textures
+        fb = ctx.render(4)
+        img = np.asarray(fb.composited)
+        assert np.isfinite(img).all()
+        # floor shows both bright and dark checker cells
+        floor = img[24:, 8:24, 0]
+        assert floor.max() > 2.0 * max(floor.min(), 1e-3)

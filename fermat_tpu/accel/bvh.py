@@ -27,24 +27,44 @@ Array = jax.Array
 SENTINEL = np.int32(-1)
 
 
-class BvhView(NamedTuple):
-    """Device-side flattened BVH (SoA)."""
+@jax.tree_util.register_pytree_node_class
+class BvhView:
+    """Device-side flattened BVH (SoA).
 
-    lo_x: Array  # (n_nodes,) bbox min
-    lo_y: Array
-    lo_z: Array
-    hi_x: Array  # bbox max
-    hi_y: Array
-    hi_z: Array
-    skip: Array  # (n_nodes,) i32 — next node if this subtree is missed/done
-    prim_start: Array  # (n_nodes,) i32 — first slot in `prims` (leaves only)
-    is_leaf: Array  # (n_nodes,) bool
-    prims: Array  # (n_leaves * leaf_size,) i32 triangle ids, -1 padded
-    leaf_size: int  # static
+    A registered pytree: the array fields are leaves; `leaf_size` is STATIC
+    aux data (it parameterizes the unroll length of leaf intersection and
+    must stay a python int under jit).
+    """
+
+    _ARRAY_FIELDS = (
+        "lo_x", "lo_y", "lo_z", "hi_x", "hi_y", "hi_z",
+        "skip", "prim_start", "is_leaf", "prims", "child",
+    )
+
+    def __init__(
+        self, lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
+        skip, prim_start, is_leaf, prims, leaf_size, child=None,
+    ):
+        self.lo_x, self.lo_y, self.lo_z = lo_x, lo_y, lo_z
+        self.hi_x, self.hi_y, self.hi_z = hi_x, hi_y, hi_z
+        self.skip = skip
+        self.prim_start = prim_start
+        self.is_leaf = is_leaf
+        self.prims = prims
+        self.leaf_size = leaf_size
+        self.child = child
 
     @property
     def n_nodes(self) -> int:
         return self.skip.shape[0]
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self._ARRAY_FIELDS), self.leaf_size
+
+    @classmethod
+    def tree_unflatten(cls, leaf_size, children):
+        kw = dict(zip(cls._ARRAY_FIELDS, children))
+        return cls(leaf_size=leaf_size, **kw)
 
 
 class _BuildNode:
@@ -182,6 +202,7 @@ def build_bvh(
     j = jnp.asarray
     nlo = np.asarray(nodes_lo, np.float32)
     nhi = np.asarray(nodes_hi, np.float32)
+    n_nodes = len(skips)
     view = BvhView(
         lo_x=j(nlo[:, 0]), lo_y=j(nlo[:, 1]), lo_z=j(nlo[:, 2]),
         hi_x=j(nhi[:, 0]), hi_y=j(nhi[:, 1]), hi_z=j(nhi[:, 2]),
@@ -190,17 +211,45 @@ def build_bvh(
         is_leaf=j(np.asarray(leaf_flags, bool)),
         prims=j(np.asarray(prim_slots, np.int32)),
         leaf_size=leaf_size,
+        child=j(np.arange(1, n_nodes + 1, dtype=np.int32)),  # DFS: child = i+1
     )
     return view, np.asarray(prim_slots, np.int32)
 
 
-def build_bvh_for_mesh(mesh_view, leaf_size: int = 4) -> BvhView:
-    """Build from a MeshView's (p0, e1, e2) triangle soup."""
+_NATIVE_MIN_TRIS = 4096  # below this python build time is negligible
+
+
+def build_bvh_for_mesh(mesh_view, leaf_size: int = 4, use_native: bool = True) -> BvhView:
+    """Build from a MeshView's (p0, e1, e2) triangle soup.
+
+    Large meshes route to the native C++ builder (native/fermat_native.cpp)
+    when available — same flattened layout, ~100x the python build speed."""
     p0 = np.stack([np.asarray(mesh_view.p0.x), np.asarray(mesh_view.p0.y), np.asarray(mesh_view.p0.z)], 1)
     p1 = p0 + np.stack([np.asarray(mesh_view.e1.x), np.asarray(mesh_view.e1.y), np.asarray(mesh_view.e1.z)], 1)
     p2 = p0 + np.stack([np.asarray(mesh_view.e2.x), np.asarray(mesh_view.e2.y), np.asarray(mesh_view.e2.z)], 1)
     lo = np.minimum(np.minimum(p0, p1), p2) - 1e-7
     hi = np.maximum(np.maximum(p0, p1), p2) + 1e-7
-    centroids = (p0 + p1 + p2) / 3.0
-    view, _ = build_bvh(centroids.astype(np.float32), lo.astype(np.float32), hi.astype(np.float32), leaf_size)
+    centroids = ((p0 + p1 + p2) / 3.0).astype(np.float32)
+    lo = lo.astype(np.float32)
+    hi = hi.astype(np.float32)
+
+    if use_native and centroids.shape[0] >= _NATIVE_MIN_TRIS:
+        from fermat_tpu.utils.native import build_bvh_native
+
+        r = build_bvh_native(centroids, lo, hi, leaf_size)
+        if r is not None:
+            j = jnp.asarray
+            n_nodes = r["skip"].shape[0]
+            return BvhView(
+                lo_x=j(r["lo"][:, 0]), lo_y=j(r["lo"][:, 1]), lo_z=j(r["lo"][:, 2]),
+                hi_x=j(r["hi"][:, 0]), hi_y=j(r["hi"][:, 1]), hi_z=j(r["hi"][:, 2]),
+                skip=j(r["skip"]),
+                prim_start=j(r["prim_start"]),
+                is_leaf=j(r["is_leaf"]),
+                prims=j(r["prims"]),
+                leaf_size=leaf_size,
+                child=j(np.arange(1, n_nodes + 1, dtype=np.int32)),
+            )
+
+    view, _ = build_bvh(centroids, lo, hi, leaf_size)
     return view

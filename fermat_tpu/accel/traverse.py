@@ -160,7 +160,7 @@ def trace_closest(
             tri = jnp.where(closer, tid_c, tri)
             u = jnp.where(closer, uh, u)
             v = jnp.where(closer, vh, v)
-        nxt = jnp.where(hit_box & ~leaf, nd + 1, bvh.skip[nd])
+        nxt = jnp.where(hit_box & ~leaf, bvh.child[nd], bvh.skip[nd])
         return _TraceState(jnp.where(live, nxt, s.node), t, tri, u, v)
 
     s = jax.lax.while_loop(cond, body, state)
@@ -206,7 +206,7 @@ def trace_any(
             _, _, _, ok = intersect_triangles(mesh, tid_c, o, d, tmin, tmax)
             hit_any = hit_any | (valid & ok)
         occluded = occluded | hit_any
-        nxt = jnp.where(hit_box & ~leaf, nd + 1, bvh.skip[nd])
+        nxt = jnp.where(hit_box & ~leaf, bvh.child[nd], bvh.skip[nd])
         nxt = jnp.where(occluded, -1, nxt)  # early out
         return (jnp.where(live, nxt, node), occluded)
 

@@ -153,16 +153,24 @@ def render_pass(
     instance: Array,
     seed: int = 0,
     pix: Array = None,
+    sequence=None,
 ) -> _PassOutput:
     """Trace one progressive pass (PathTracer::render, pathtracer_impl.h:197).
 
     `pix` defaults to the full pixel grid; tile-sharded rendering
-    (fermat_tpu.parallel) passes each shard's pixel-id slice.
+    (fermat_tpu.parallel) passes each shard's pixel-id slice. `sequence`
+    overrides the sampler — the MCMC integrators drive the same path-tracing
+    machinery from mutated primary-sample vectors (the reference's
+    TPrimaryCoordinates policy, bpt_samplers.h:43-121).
     """
     if pix is None:
         pix = jnp.arange(res_x * res_y, dtype=jnp.uint32)
     n = pix.shape[0]
-    seq = TiledSequence.create(seed=seed).set_instance(instance)
+    seq = (
+        sequence
+        if sequence is not None
+        else TiledSequence.create(seed=seed).set_instance(instance)
+    )
     closest, anyhit = _pick_tracers(view, opts)
 
     jx, jy = seq.sample_2d(pix, jnp.uint32(0))

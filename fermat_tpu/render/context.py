@@ -48,8 +48,41 @@ def _bpt_factory(**kw):
     return bpt_mod.render_pass_fb, opts
 
 
+def _pssmlt_factory(**kw):
+    from fermat_tpu.integrators import pssmlt as ps
+
+    opts = ps.PssmltOptions(**kw)
+
+    def init(view, res_x, res_y, seed):
+        return ps.init_state(view, opts, res_x, res_y, res_x * res_y, seed)
+
+    def pass_fn(view, opts_, res_x, res_y, instance, seed, state):
+        from fermat_tpu.core.math import Vec3
+        from fermat_tpu.integrators.pt import _PassOutput
+
+        new_state, splat = ps.step(view, opts_, res_x, res_y, state)
+        n = res_x * res_y
+        comp = Vec3(splat[:, 0], splat[:, 1], splat[:, 2])
+        zero3 = Vec3.zeros((n,))
+        out = _PassOutput(
+            direct=zero3, diffuse=zero3, specular=zero3, composited=comp,
+            diffuse_albedo=zero3, specular_albedo=zero3,
+            depth=jnp.full(n, jnp.inf, jnp.float32),
+            tri=jnp.full(n, -1, jnp.int32), normal=zero3, position=zero3,
+            uv=jnp.zeros((n, 2), jnp.float32),
+            material=jnp.full(n, -1, jnp.int32),
+            rays=jnp.zeros((), jnp.float32),
+        )
+        return out, new_state
+
+    pass_fn.stateful = True
+    pass_fn.init = init
+    return pass_fn, opts
+
+
 register_renderer("pt", _pt_factory)
 register_renderer("bpt", _bpt_factory)
+register_renderer("pssmlt", _pssmlt_factory)
 
 
 @dataclass
@@ -64,6 +97,7 @@ class RenderingContext:
     gbuffer: Optional[dict] = None
     instance: int = 0
     _pass_fn: Optional[Callable] = None
+    renderer_state: object = None  # MCMC chain state etc. (stateful renderers)
     stats: dict = field(default_factory=dict)
 
     @staticmethod
@@ -97,9 +131,13 @@ class RenderingContext:
             )
         pass_fn, opts = _RENDERER_REGISTRY[self.renderer](**self.renderer_options)
         res_x, res_y, seed = self.res_x, self.res_y, self.seed
+        stateful = getattr(pass_fn, "stateful", False)
 
-        def one_pass(view: SceneView, fb: Framebuffer, instance):
-            out = pass_fn(view, opts, res_x, res_y, instance, seed)
+        def one_pass(view: SceneView, fb: Framebuffer, instance, state=None):
+            if stateful:
+                out, state = pass_fn(view, opts, res_x, res_y, instance, seed, state)
+            else:
+                out = pass_fn(view, opts, res_x, res_y, instance, seed)
             shape = (res_y, res_x, 3)
             img = lambda v: jnp.reshape(v.stack(), shape)
             new_fb = fb.accumulate_pass(
@@ -117,8 +155,11 @@ class RenderingContext:
                 "miss": jnp.reshape(out.tri < 0, (res_y, res_x)),
                 "depth": jnp.reshape(out.depth, (res_y, res_x)),
             }
-            return new_fb, gbuf
+            return (new_fb, gbuf, state) if stateful else (new_fb, gbuf)
 
+        self._stateful = stateful
+        if stateful and self.renderer_state is None:
+            self.renderer_state = pass_fn.init(self.view, res_x, res_y, seed)
         self._pass_fn = jax.jit(one_pass)
 
     def render(self, n_passes: int = 1, progress: bool = False) -> Framebuffer:
@@ -127,9 +168,14 @@ class RenderingContext:
             self._build_pass()
         for _ in range(n_passes):
             t0 = time.perf_counter()
-            self.fb, self.gbuffer = self._pass_fn(
-                self.view, self.fb, jnp.uint32(self.instance)
-            )
+            if getattr(self, "_stateful", False):
+                self.fb, self.gbuffer, self.renderer_state = self._pass_fn(
+                    self.view, self.fb, jnp.uint32(self.instance), self.renderer_state
+                )
+            else:
+                self.fb, self.gbuffer = self._pass_fn(
+                    self.view, self.fb, jnp.uint32(self.instance)
+                )
             self.fb = jax.block_until_ready(self.fb)
             dt = time.perf_counter() - t0
             self.stats.setdefault("pass_times", []).append(dt)
@@ -148,6 +194,9 @@ class RenderingContext:
         """
         if self._pass_fn is None:
             self._build_pass()
+        if getattr(self, "_stateful", False):
+            # chain state threading not yet batched in-graph for MCMC
+            return self.render(n_passes)
         key = ("batch", n_passes)
         if key not in self.stats:
             pass_fn, opts = _RENDERER_REGISTRY[self.renderer](**self.renderer_options)

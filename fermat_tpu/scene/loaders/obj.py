@@ -74,7 +74,54 @@ def _resolve(idx: int, count: int) -> int:
     return idx - 1 if idx > 0 else count + idx
 
 
+_NATIVE_MIN_BYTES = 1 << 20  # use the C++ parser for files over 1 MB
+
+
 def load_obj(path: str) -> MeshStorage:
+    """OBJ load; big files parse geometry through the native C++ runtime
+    (native/fermat_native.cpp) with MTL still handled here."""
+    if os.path.getsize(path) >= _NATIVE_MIN_BYTES:
+        m = _load_obj_native(path)
+        if m is not None:
+            return m
+    return _load_obj_python(path)
+
+
+def _load_obj_native(path: str) -> Optional[MeshStorage]:
+    from fermat_tpu.utils.native import load_obj_geometry
+
+    geo = load_obj_geometry(path)
+    if geo is None:
+        return None
+    # materials from the mtllib(s), remapped to usemtl first-use order
+    base = os.path.dirname(path)
+    mtl_mats: Dict[str, HostMaterial] = {}
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("mtllib"):
+                mtl_path = os.path.join(base, line.split(None, 1)[1].strip())
+                if os.path.exists(mtl_path):
+                    for m in load_mtl(mtl_path):
+                        mtl_mats[m.name] = m
+    materials = [
+        mtl_mats.get(n, HostMaterial(n)) for n in geo["material_names"]
+    ] or [HostMaterial("default")]
+    ntri = geo["tri_v"].shape[0]
+    return MeshStorage(
+        vertices=geo["vertices"],
+        triangles=geo["tri_v"],
+        normals=geo["normals"],
+        normal_indices=geo["tri_n"],
+        uvs=geo["uvs"],
+        uv_indices=geo["tri_uv"],
+        material_ids=geo["tri_mat"],
+        materials=materials,
+        group_names=["default"],
+        group_offsets=np.asarray([0, ntri], np.int32),
+    )
+
+
+def _load_obj_python(path: str) -> MeshStorage:
     verts: List[List[float]] = []
     norms: List[List[float]] = []
     uvs: List[List[float]] = []

@@ -6,6 +6,9 @@ kernels and sharding on the CPU backend; the driver separately compile-checks
 the multi-chip path and benches on real TPU.
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # NOTE: this environment's sitecustomize force-registers the 'axon' TPU
 # platform and overrides JAX_PLATFORMS, so we must override it back *after*
@@ -21,3 +24,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the integrator graphs take minutes to compile on
+# CPU; caching makes suite re-runs compile-free
+jax.config.update("jax_compilation_cache_dir", "/tmp/fermat_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -7,6 +7,7 @@ match exactly.
 """
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -155,3 +156,48 @@ class TestTraversal:
         # normals unit length
         n2 = np.asarray(sn.x) ** 2 + np.asarray(sn.y) ** 2 + np.asarray(sn.z) ** 2
         np.testing.assert_allclose(n2, 1.0, atol=1e-4)
+
+
+class TestLBVH:
+    """Device-build LBVH vs host SAH builder — the lbvh_test.cu:59-240
+    host-vs-device consistency check, via traversal equivalence."""
+
+    def _rays(self, n, seed=0, extent=20.0):
+        r = np.random.default_rng(seed)
+        o = Vec3(*(jnp.asarray((r.random(n, dtype=np.float32) - 0.5) * extent) for _ in range(3)))
+        dn = r.normal(size=(3, n)).astype(np.float32)
+        dn /= np.linalg.norm(dn, axis=0, keepdims=True)
+        return o, Vec3(jnp.asarray(dn[0]), jnp.asarray(dn[1]), jnp.asarray(dn[2]))
+
+    def test_lbvh_matches_sah_soup(self):
+        from fermat_tpu.accel.lbvh import build_lbvh_for_mesh
+
+        mesh = random_soup(800, seed=5).device_view()
+        lbvh = build_lbvh_for_mesh(mesh)
+        sah = build_bvh_for_mesh(mesh)
+        o, d = self._rays(512, 1)
+        tmin, tmax = jnp.float32(1e-4), jnp.float32(1e9)
+        hl = trace_closest(lbvh, mesh, o, d, tmin, tmax)
+        hs = trace_closest(sah, mesh, o, d, tmin, tmax)
+        np.testing.assert_allclose(np.asarray(hl.t), np.asarray(hs.t), rtol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(hl.hit_mask), np.asarray(hs.hit_mask)
+        )
+
+    def test_lbvh_cornell(self):
+        from fermat_tpu.accel.lbvh import build_lbvh_for_mesh
+
+        mesh = cornell_box().device_view()
+        lbvh = build_lbvh_for_mesh(mesh)
+        o, d = _camera_rays(16)
+        tmin, tmax = jnp.float32(1e-3), jnp.float32(1e9)
+        hl = trace_closest(lbvh, mesh, o, d, tmin, tmax)
+        hb = trace_closest_brute(mesh, o, d, tmin, tmax)
+        np.testing.assert_allclose(np.asarray(hl.t), np.asarray(hb.t), rtol=1e-5)
+
+    def test_lbvh_jittable(self):
+        from fermat_tpu.accel.lbvh import build_lbvh_for_mesh
+
+        mesh = random_soup(100, seed=2).device_view()
+        bvh = jax.jit(build_lbvh_for_mesh)(mesh)
+        assert int(bvh.skip.shape[0]) == 199

@@ -247,6 +247,15 @@ def render_pass(
         hit = closest(c.o, c.d, jnp.float32(eps), jnp.float32(3.0e38), c.alive)
         c = c._replace(rays=c.rays + jnp.sum(c.alive.astype(jnp.float32)))
         valid = c.alive & hit.hit_mask
+        # constant environment light: miss lanes pick up thr * env. No NEE
+        # strategy samples the env, so the weight is 1 (no MIS competition).
+        missed = c.alive & ~hit.hit_mask
+        c = add_routed(
+            c,
+            Vec3(c.thr.x * view.env[0], c.thr.y * view.env[1], c.thr.z * view.env[2]),
+            missed,
+            c.channel,
+        )
         tri_c = jnp.maximum(hit.tri, 0)
         pos, gn, sn, uv, mat_id = view.mesh.interpolate(tri_c, hit.u, hit.v)
         wi = -c.d  # towards the previous vertex

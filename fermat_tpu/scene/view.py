@@ -32,6 +32,7 @@ class SceneView(NamedTuple):
     dir_lights: DirectionalLightsView
     camera: Camera
     textures: TextureAtlas
+    env: "jax.Array"  # (3,) constant environment radiance (0 = none)
 
     @property
     def has_textures(self) -> bool:
@@ -45,6 +46,7 @@ class SceneView(NamedTuple):
         dir_light_defs=(),
         leaf_size: int = 4,
         texture_dir: Optional[str] = None,
+        env_radiance=(0.0, 0.0, 0.0),
     ) -> "SceneView":
         # resolve texture files referenced by materials (renderer.cu:784-882)
         images = []
@@ -86,7 +88,9 @@ class SceneView(NamedTuple):
         lights = MeshLightsView.build(mesh)
         dl = DirectionalLightsView.build(list(dir_light_defs))
         atlas = TextureAtlas.build(images)
+        import jax.numpy as jnp
+
         return SceneView(
             mesh=mesh, bvh=bvh, lights=lights, dir_lights=dl, camera=camera,
-            textures=atlas,
+            textures=atlas, env=jnp.asarray(env_radiance, jnp.float32),
         )

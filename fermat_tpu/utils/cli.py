@@ -124,11 +124,21 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     ext = os.path.splitext(scene_path)[1].lower()
     dir_lights = ()
+    env_radiance = (0.0, 0.0, 0.0)
     if ext == ".fa":
         loaded = load_fa(scene_path, strict=False)
         mesh = loaded.mesh
         camera = loaded.camera
         dir_lights = tuple(loaded.dir_lights)
+    elif ext == ".pbrt":
+        from fermat_tpu.scene.loaders.pbrt import load_pbrt
+
+        pb = load_pbrt(scene_path)
+        mesh = pb.mesh
+        camera = pb.camera
+        env_radiance = pb.env_radiance
+        if res == (512, 512):
+            res = pb.resolution
     else:
         mesh = load_mesh_any(scene_path)
         camera = None
@@ -155,7 +165,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     ctx = RenderingContext.create(
         mesh, camera, res[0], res[1], renderer=renderer,
         dir_lights=dir_lights, seed=seed,
-        texture_dir=os.path.dirname(os.path.abspath(scene_path)), **opts,
+        texture_dir=os.path.dirname(os.path.abspath(scene_path)),
+        env_radiance=env_radiance, **opts,
     )
 
     ref_img = read_image(ref_path) if ref_path else None

@@ -201,3 +201,25 @@ class TestLBVH:
         mesh = random_soup(100, seed=2).device_view()
         bvh = jax.jit(build_lbvh_for_mesh)(mesh)
         assert int(bvh.skip.shape[0]) == 199
+
+
+class TestPbrt:
+    def test_material_testball(self):
+        """Load + render the bundled pbrt scene (BASELINE config #5 scene)."""
+        from fermat_tpu.scene.loaders.pbrt import load_pbrt
+        from fermat_tpu.render.context import RenderingContext
+
+        pb = load_pbrt("/root/reference/models/material-testball/scene.pbrt")
+        assert pb.mesh.n_triangles > 1000  # plymeshes + floor
+        assert pb.camera is not None
+        assert pb.resolution == (1280, 720)
+        assert max(pb.env_radiance) > 0  # infinite light fallback
+        names = [m.name for m in pb.mesh.materials]
+        assert any("Rough" in n or "Stand" in n or "Floor" in n for n in names)
+        ctx = RenderingContext.create(
+            pb.mesh, pb.camera, 48, 32, renderer="pt",
+            env_radiance=pb.env_radiance, max_path_length=3,
+        )
+        img = np.asarray(ctx.render(2).composited)
+        assert np.isfinite(img).all()
+        assert img.max() > 0.05  # env-lit

@@ -113,10 +113,47 @@ def _psfpt_factory(**kw):
     return pass_fn, opts
 
 
+def _ptrl_factory(**kw):
+    from fermat_tpu.integrators import ptrl as pr
+    from fermat_tpu.integrators import rl as rl_mod
+
+    opts = pr.PtrlOptions(**kw)
+    clusters_box = {}
+
+    def init(view, res_x, res_y, seed):
+        clusters_box["c"] = rl_mod.build_clusters(view.mesh, opts.n_clusters)
+        return pr.init_state(view, opts)
+
+    def pass_fn(view, opts_, res_x, res_y, instance, seed, state):
+        from fermat_tpu.core.math import Vec3
+        from fermat_tpu.integrators.pt import _PassOutput
+
+        out, new_state, rays = pr.render_pass(
+            view, opts_, clusters_box["c"], res_x, res_y, instance, state, seed
+        )
+        n = res_x * res_y
+        zero3 = Vec3.zeros((n,))
+        po = _PassOutput(
+            direct=zero3, diffuse=zero3, specular=zero3, composited=out,
+            diffuse_albedo=zero3, specular_albedo=zero3,
+            depth=jnp.full(n, jnp.inf, jnp.float32),
+            tri=jnp.full(n, -1, jnp.int32), normal=zero3, position=zero3,
+            uv=jnp.zeros((n, 2), jnp.float32),
+            material=jnp.full(n, -1, jnp.int32),
+            rays=rays,
+        )
+        return po, new_state
+
+    pass_fn.stateful = True
+    pass_fn.init = init
+    return pass_fn, opts
+
+
 register_renderer("pt", _pt_factory)
 register_renderer("bpt", _bpt_factory)
 register_renderer("pssmlt", _pssmlt_factory)
 register_renderer("psfpt", _psfpt_factory)
+register_renderer("ptrl", _ptrl_factory)
 
 
 @dataclass

@@ -54,6 +54,16 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from fermat_tpu.render.context import _RENDERER_REGISTRY
 
+    # plugins load FIRST so their renderer flags validate during parsing
+    # (renderer.cu:441-460 loads plugins during init for the same reason)
+    for k, a in enumerate(argv):
+        if a == "-plugin" and k + 1 < len(argv):
+            import importlib
+
+            mod = importlib.import_module(argv[k + 1])
+            mod.register_plugin()
+            print(f"loaded plugin {argv[k + 1]}", file=sys.stderr)
+
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -89,14 +99,6 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"unknown argument: {a}", file=sys.stderr)
             return 2
         i += 1
-
-    # plugins first — they may register renderers (renderer.cu:441-460)
-    for p in plugins:
-        import importlib
-
-        mod = importlib.import_module(p)
-        mod.register_plugin()
-        print(f"loaded plugin {p}", file=sys.stderr)
 
     from fermat_tpu.utils.image import read_image, write_tga
     from fermat_tpu.render.framebuffer import rmse as rmse_fn

@@ -421,6 +421,45 @@ def render_pass(
                 contrib = Vec3((fd.x + fg.x) * wX, (fd.y + fg.y) * wY, (fd.z + fg.z) * wZ)
                 c = add_routed(c, contrib, lit, c.channel)
 
+        # ---- NEE: point lights (delta; lights.h Point) ----
+        if view.point_lights.count > 0:
+            for li in range(view.point_lights.count):
+                lp = view.point_lights
+                to_l = Vec3(lp.px[li] - pos.x, lp.py[li] - pos.y, lp.pz[li] - pos.z)
+                dist2 = jnp.maximum(dot(to_l, to_l), 1e-12)
+                dist = jnp.sqrt(dist2)
+                wo = to_l * (1.0 / dist)
+                wo_loc = to_local(wo, t_b, b_b, sn_f)
+                fd, fg, _ = f_split(params, wi_loc, wo_loc)
+                cos_s = jnp.abs(wo_loc.z)
+                able = valid & ((fd.x + fg.x + fd.y + fg.y + fd.z + fg.z) > 0.0)
+                so = _offset_origin(pos, gn, wo, eps)
+                occluded = anyhit(so, wo, jnp.float32(0.0), dist * (1.0 - 1e-3), able)
+                c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
+                lit = able & ~occluded
+                inv_d2 = 1.0 / dist2
+                wX = c.thr.x * lp.ix[li] * cos_s * inv_d2
+                wY = c.thr.y * lp.iy[li] * cos_s * inv_d2
+                wZ = c.thr.z * lp.iz[li] * cos_s * inv_d2
+                contrib = Vec3(
+                    (fd.x + fg.x) * wX, (fd.y + fg.y) * wY, (fd.z + fg.z) * wZ
+                )
+                if first:
+                    c = c._replace(
+                        l_diffuse=Vec3(
+                            c.l_diffuse.x + jnp.where(lit, fd.x * wX, 0.0),
+                            c.l_diffuse.y + jnp.where(lit, fd.y * wY, 0.0),
+                            c.l_diffuse.z + jnp.where(lit, fd.z * wZ, 0.0),
+                        ),
+                        l_specular=Vec3(
+                            c.l_specular.x + jnp.where(lit, fg.x * wX, 0.0),
+                            c.l_specular.y + jnp.where(lit, fg.y * wY, 0.0),
+                            c.l_specular.z + jnp.where(lit, fg.z * wZ, 0.0),
+                        ),
+                    )
+                else:
+                    c = add_routed(c, contrib, lit, c.channel)
+
         # ---- NEE: directional lights (renderer dir-light pass) ----
         if view.dir_lights.count > 0:
             for li in range(view.dir_lights.count):

@@ -182,11 +182,12 @@ class RenderingContext:
         seed: int = 0,
         texture_dir=None,
         env_radiance=(0.0, 0.0, 0.0),
+        point_lights=(),
         **renderer_options,
     ) -> "RenderingContext":
         view = SceneView.build(
             storage, camera, dir_lights, texture_dir=texture_dir,
-            env_radiance=env_radiance,
+            env_radiance=env_radiance, point_light_defs=point_lights,
         )
         ctx = RenderingContext(
             view=view,
@@ -313,8 +314,10 @@ class RenderingContext:
     def hdr_image(self) -> np.ndarray:
         return np.asarray(self.fb.composited)
 
-    def filtered_image(self, exposure: float = 1.0, gamma: float = 2.2) -> np.ndarray:
-        """EAW-denoised output (renderer.cu kFiltered path)."""
+    def filtered_image(
+        self, exposure: float = 1.0, gamma: float = 2.2, method: str = "eaw"
+    ) -> np.ndarray:
+        """Denoised output (renderer.cu kFiltered path); method: eaw | xbl."""
         from fermat_tpu.render.denoise import denoise
 
         assert self.gbuffer is not None, "render at least one pass first"
@@ -325,6 +328,7 @@ class RenderingContext:
             self.gbuffer["miss"],
             self.view.camera,
             instance=self.instance - 1,
+            method=method,
         )
         return np.asarray(to_rgba8(out, exposure, gamma))
 

@@ -129,6 +129,86 @@ def eaw(
     return img
 
 
+def xbl(
+    img: Array,
+    normal: Array,
+    position: Array,
+    miss: Array,
+    var: Array,
+    pos_radius: Array,
+    seq_shift: Array,  # (H, W, 2) per-pixel QMC shifts in [0,1)
+    params: EAWParams = EAWParams(),
+    taps: int = 16,
+    filter_radius: float = 10.0,
+    sigma: float = 10.0,
+) -> Array:
+    """Cross-bilateral filter with stochastic QMC disk taps.
+
+    Reference: src/xbl.{h,cu} — `params.taps` Cranley-Patterson-shifted
+    disk samples scaled by filter_radius, gaussian spatial falloff
+    (sigma = 10, xbl.cu:120-146), and the same normal/position/color edge
+    stops as EAW. Tap reads are flat-index gathers (post-process cost only).
+    """
+    h, w = img.shape[:2]
+    phi_n = params.phi_normal
+    phi_p = params.phi_position / jnp.maximum(pos_radius * pos_radius, 1e-12)
+    phi_c = params.phi_color / jnp.maximum(1e-3, var * var)
+
+    flat_img = img.reshape(h * w, 3)
+    flat_n = normal.reshape(h * w, 3)
+    flat_p = position.reshape(h * w, 3)
+    flat_m = miss.reshape(h * w)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    sum_w = jnp.zeros((h, w), img.dtype)
+    sum_c = jnp.zeros_like(img)
+    from fermat_tpu.core.rng import hash_u32, uniform_from_bits
+    from fermat_tpu.core.sampling import square_to_uniform_disk
+
+    for s in range(taps):
+        if s == 0:
+            dx = jnp.zeros((h, w))
+            dy = jnp.zeros((h, w))
+        else:
+            u = jnp.mod(
+                uniform_from_bits(hash_u32(jnp.uint32(s * 2 + 1))) + seq_shift[..., 0],
+                1.0,
+            )
+            v = jnp.mod(
+                uniform_from_bits(hash_u32(jnp.uint32(s * 2 + 2))) + seq_shift[..., 1],
+                1.0,
+            )
+            ox, oy = square_to_uniform_disk(u, v)
+            dx = jnp.round(ox * filter_radius)
+            dy = jnp.round(oy * filter_radius)
+        px = jnp.clip(xx + dx.astype(jnp.int32), 0, w - 1)
+        py = jnp.clip(yy + dy.astype(jnp.int32), 0, h - 1)
+        idx = (py * w + px).reshape(-1)
+        c_p = flat_img[idx].reshape(h, w, 3)
+        n_p = flat_n[idx].reshape(h, w, 3)
+        p_p = flat_p[idx].reshape(h, w, 3)
+        m_p = flat_m[idx].reshape(h, w)
+        d2 = (dx * dx + dy * dy) / (sigma * sigma)
+        dc = c_p - img
+        w_color = jnp.sum(dc * dc, -1) * phi_c
+        w_normal = (1.0 - jnp.maximum(jnp.sum(n_p * normal, -1), 1e-8)) * phi_n
+        dp = p_p - position
+        w_pos = jnp.sum(dp * dp, -1) * phi_p
+        wgt = jnp.exp(
+            -d2
+            - jnp.maximum(w_pos, 0.0)
+            - jnp.maximum(w_normal, 0.0)
+            - jnp.maximum(w_color, 0.0)
+        )
+        wgt = jnp.where(m_p, 0.0, wgt)
+        sum_w = sum_w + wgt
+        sum_c = sum_c + wgt[..., None] * c_p
+    filtered = jnp.where(
+        (sum_w > 0.0)[..., None], sum_c / jnp.maximum(sum_w, 1e-20)[..., None], img
+    )
+    return jnp.where(miss[..., None], img, filtered)
+
+
 def denoise(
     fb,
     gbuffer_normal: Array,  # (H, W, 3)
@@ -137,14 +217,23 @@ def denoise(
     cam: Camera,
     instance: int = 0,
     w_min: float = 1e-2,
+    method: str = "eaw",
 ) -> Array:
     """Full denoising pipeline (renderer.cu:1099-1217 kFiltered path):
     demodulate diffuse/specular by their albedo AOVs, variance-prefilter,
-    EAW each, remodulate, and composite with the unfiltered direct channel.
+    filter each (EAW a-trous or XBL stochastic cross-bilateral), remodulate,
+    and composite with the unfiltered direct channel.
     """
     h, w = fb.res
     params = EAWParams(phi_color=float(instance * instance + 1) / 1.0e4)
     pos_radius = _pos_radius(gbuffer_position, cam, w, h)
+    if method == "xbl":
+        from fermat_tpu.core.rng import hash_combine, uniform_from_bits
+
+        pix = jnp.arange(h * w, dtype=jnp.uint32)
+        s0 = uniform_from_bits(hash_combine(pix, jnp.uint32(17))).reshape(h, w)
+        s1 = uniform_from_bits(hash_combine(pix, jnp.uint32(37))).reshape(h, w)
+        seq_shift = jnp.stack([s0, s1], -1)
 
     out = fb.direct
     for img, albedo, var_idx in (
@@ -154,8 +243,15 @@ def denoise(
         wgt = jnp.maximum(albedo, w_min)
         demod = img / wgt
         var = filter_variance(fb.var_luminance[..., var_idx], 2)
-        filtered = eaw(
-            demod, gbuffer_normal, gbuffer_position, gbuffer_miss, var, pos_radius, params
-        )
+        if method == "xbl":
+            filtered = xbl(
+                demod, gbuffer_normal, gbuffer_position, gbuffer_miss, var,
+                pos_radius, seq_shift, params,
+            )
+        else:
+            filtered = eaw(
+                demod, gbuffer_normal, gbuffer_position, gbuffer_miss, var,
+                pos_radius, params,
+            )
         out = out + filtered * wgt
     return out

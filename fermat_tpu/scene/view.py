@@ -33,6 +33,7 @@ class SceneView(NamedTuple):
     camera: Camera
     textures: TextureAtlas
     env: "jax.Array"  # (3,) constant environment radiance (0 = none)
+    point_lights: "object"  # PointLightsView (delta lights)
 
     @property
     def has_textures(self) -> bool:
@@ -47,6 +48,7 @@ class SceneView(NamedTuple):
         leaf_size: int = 4,
         texture_dir: Optional[str] = None,
         env_radiance=(0.0, 0.0, 0.0),
+        point_light_defs=(),
     ) -> "SceneView":
         # resolve texture files referenced by materials (renderer.cu:784-882)
         images = []
@@ -90,7 +92,10 @@ class SceneView(NamedTuple):
         atlas = TextureAtlas.build(images)
         import jax.numpy as jnp
 
+        from fermat_tpu.scene.analytic_lights import PointLightsView
+
         return SceneView(
             mesh=mesh, bvh=bvh, lights=lights, dir_lights=dl, camera=camera,
             textures=atlas, env=jnp.asarray(env_radiance, jnp.float32),
+            point_lights=PointLightsView.build(list(point_light_defs)),
         )

@@ -97,3 +97,60 @@ class TestPallasTrace:
         np.testing.assert_array_equal(
             np.asarray(hp2.tri >= 0), np.asarray(act & (hb.tri >= 0))
         )
+
+
+class TestXBL:
+    def test_xbl_smooths_and_respects_edges(self):
+        import jax.numpy as jnp
+        from fermat_tpu.render.denoise import EAWParams, xbl
+
+        r = np.random.default_rng(0)
+        h = w = 24
+        img = jnp.asarray(0.5 + 0.1 * r.standard_normal((h, w, 3)).astype(np.float32))
+        normal = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (h, w, 3))
+        pos = jnp.zeros((h, w, 3))
+        miss = jnp.zeros((h, w), bool)
+        var = jnp.full((h, w), 1.0)
+        pr = jnp.full((h, w), 1.0)
+        shift = jnp.zeros((h, w, 2))
+        out = xbl(img, normal, pos, miss, var, pr, shift,
+                  EAWParams(phi_color=1e-6), taps=12, filter_radius=4.0)
+        inner = (slice(4, -4), slice(4, -4))
+        assert float(jnp.std(out[inner])) < 0.7 * float(jnp.std(img[inner]))
+        assert abs(float(jnp.mean(out[inner])) - float(jnp.mean(img[inner]))) < 0.02
+
+    def test_filtered_image_xbl_path(self):
+        ctx = RenderingContext.create(
+            cornell_box(), cornell_camera(), RES, RES, renderer="pt", max_path_length=2
+        )
+        ctx.render(2)
+        f = ctx.filtered_image(method="xbl")
+        assert f.shape == (RES, RES, 3)
+        assert np.isfinite(f.astype(np.float32)).all()
+
+
+class TestAnalyticLights:
+    def test_rect_and_disk_lights_illuminate(self):
+        from fermat_tpu.scene.analytic_lights import add_disk_light, add_rect_light
+        from fermat_tpu.scene.procedural import cornell_box as cb
+
+        scene = cb(light_scale=0.0)  # kill the built-in light
+        add_rect_light(scene, (0.5, 1.9, 0.0), (0, -1, 0), 0.2, 0.2, (15, 15, 15))
+        add_disk_light(scene, (-0.5, 1.9, 0.0), (0, -1, 0), 0.2, (15, 15, 15))
+        ctx = RenderingContext.create(
+            scene, cornell_camera(), RES, RES, renderer="pt", max_path_length=3
+        )
+        img = np.asarray(ctx.render(4).composited)
+        assert np.isfinite(img).all()
+        assert img.max() > 0.05  # lit purely by the analytic lights
+
+    def test_point_light(self):
+        scene = cornell_box(light_scale=0.0)
+        ctx = RenderingContext.create(
+            scene, cornell_camera(), RES, RES, renderer="pt",
+            max_path_length=2,
+            point_lights=(((0.0, 1.5, 0.0), (3.0, 3.0, 3.0)),),
+        )
+        img = np.asarray(ctx.render(4).composited)
+        assert np.isfinite(img).all()
+        assert img.max() > 0.05

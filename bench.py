@@ -28,9 +28,12 @@ def main() -> None:
     from fermat_tpu.scene.procedural import cornell_box, cornell_camera
     from fermat_tpu.scene.view import SceneView
 
+    from fermat_tpu.bsdf.composite import scene_lobes
+
     res = 512
-    opts = PTOptions(max_path_length=6)
-    view = SceneView.build(cornell_box(glossy_boxes=True), cornell_camera())
+    scene = cornell_box(glossy_boxes=True)
+    opts = PTOptions(max_path_length=6, lobes=scene_lobes(scene.materials))
+    view = SceneView.build(scene, cornell_camera())
 
     n_passes = 16
 

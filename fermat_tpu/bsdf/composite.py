@@ -126,29 +126,43 @@ def component_weights(
     return r_coeff, diffuse_w, diffuse_trans_w, glossy_trans_w
 
 
-def f(p: BsdfParams, wi: Vec3, wo: Vec3) -> Vec3:
+ALL_LOBES = (True, True, True, True)  # (dr, dt, gr, gt)
+
+
+def scene_lobes(materials_host) -> tuple:
+    """Static lobe mask from host material inspection: scenes without
+    transmissive materials skip the (expensive) transmission lobes entirely
+    — the TPU analog of the reference's DIFFUSE_ONLY/SUPPRESS_* compile-time
+    switches (bsdf.h:648-663), derived automatically per scene."""
+    has_dt = any(max(m.diffuse_trans) > 0 for m in materials_host)
+    has_gt = any(m.opacity < 1.0 for m in materials_host)
+    return (True, has_dt, True, has_gt)
+
+
+def f(p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES) -> Vec3:
     """Full composite BSDF value (bsdf.h:312-334)."""
-    val, _ = f_and_pdf(p, wi, wo)
+    val, _ = f_and_pdf(p, wi, wo, lobes)
     return val
 
 
-def pdf(p: BsdfParams, wi: Vec3, wo: Vec3) -> Array:
+def pdf(p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES) -> Array:
     """Mixture solid-angle pdf matching `sample` (bsdf.h:415-460)."""
-    _, pd = f_and_pdf(p, wi, wo)
+    _, pd = f_and_pdf(p, wi, wo, lobes)
     return pd
 
 
-def _selection_probs(p: BsdfParams, wi: Vec3):
+def _selection_probs(p: BsdfParams, wi: Vec3, lobes=ALL_LOBES):
     """Lobe selection probabilities from view-dependent weight luminances."""
     nov = jnp.abs(wi.z)
     r_lum = _max_comp(schlick(nov, p.f0))
     r_lum = jnp.where(p.ior == 0.0, 0.0, r_lum)
     t = 1.0 - r_lum
     k = 1.0 - _e_glossy(p, nov)
-    w_dr = t * p.opacity * k * _max_comp(p.diffuse)
-    w_dt = t * p.opacity * k * _max_comp(p.diffuse_trans)
-    w_gr = r_lum
-    w_gt = t * (1.0 - p.opacity)
+    zero = jnp.zeros_like(nov)
+    w_dr = t * p.opacity * k * _max_comp(p.diffuse) if lobes[0] else zero
+    w_dt = t * p.opacity * k * _max_comp(p.diffuse_trans) if lobes[1] else zero
+    w_gr = r_lum if lobes[2] else zero
+    w_gt = t * (1.0 - p.opacity) if lobes[3] else zero
     total = w_dr + w_dt + w_gr + w_gt
     inv = 1.0 / jnp.maximum(total, 1e-12)
     dead = total <= 1e-12
@@ -160,55 +174,61 @@ def _selection_probs(p: BsdfParams, wi: Vec3):
     return p_dr, p_dt, p_gr, p_gt
 
 
-def f_and_pdf(p: BsdfParams, wi: Vec3, wo: Vec3) -> Tuple[Vec3, Array]:
+def f_and_pdf(
+    p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES
+) -> Tuple[Vec3, Array]:
     """Composite f and the mixture pdf of `sample` (bsdf.h:336-413)."""
     alpha = ggx._alpha(p.roughness)
     r_coeff, w_d, w_dt, w_gt = component_weights(p, wi, wo)
     same = (wi.z * wo.z) > 0.0
     abs_co = jnp.abs(wo.z)
+    zero = jnp.zeros_like(abs_co)
 
-    f_dr = jnp.where(same, INV_PI, 0.0) * w_d
-    f_dt = jnp.where(~same, INV_PI, 0.0) * w_dt
-    g_r = ggx.reflect_eval(alpha, wi, wo)
-    g_t = ggx.refract_eval(alpha, p.ior, wi, wo) * w_gt
+    f_dr = jnp.where(same, INV_PI, 0.0) * w_d if lobes[0] else zero
+    f_dt = jnp.where(~same, INV_PI, 0.0) * w_dt if lobes[1] else zero
+    g_r = ggx.reflect_eval(alpha, wi, wo) if lobes[2] else zero
+    g_t = ggx.refract_eval(alpha, p.ior, wi, wo) * w_gt if lobes[3] else zero
 
     fx = p.diffuse.x * f_dr + p.diffuse_trans.x * f_dt + r_coeff.x * g_r + g_t
     fy = p.diffuse.y * f_dr + p.diffuse_trans.y * f_dt + r_coeff.y * g_r + g_t
     fz = p.diffuse.z * f_dr + p.diffuse_trans.z * f_dt + r_coeff.z * g_r + g_t
 
-    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi)
-    pdf_dr = jnp.where(same, abs_co * INV_PI, 0.0)
-    pdf_dt = jnp.where(~same, abs_co * INV_PI, 0.0)
-    pdf_gr = ggx.reflect_pdf(alpha, wi, wo)
-    pdf_gt = ggx.refract_pdf(alpha, p.ior, wi, wo)
+    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi, lobes)
+    pdf_dr = jnp.where(same, abs_co * INV_PI, 0.0) if lobes[0] else zero
+    pdf_dt = jnp.where(~same, abs_co * INV_PI, 0.0) if lobes[1] else zero
+    pdf_gr = ggx.reflect_pdf(alpha, wi, wo) if lobes[2] else zero
+    pdf_gt = ggx.refract_pdf(alpha, p.ior, wi, wo) if lobes[3] else zero
     mix_pdf = p_dr * pdf_dr + p_dt * pdf_dt + p_gr * pdf_gr + p_gt * pdf_gt
     return Vec3(fx, fy, fz), mix_pdf
 
 
-def f_split(p: BsdfParams, wi: Vec3, wo: Vec3) -> Tuple[Vec3, Vec3, Array]:
+def f_split(
+    p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES
+) -> Tuple[Vec3, Vec3, Array]:
     """(f_diffuse, f_glossy, mixture_pdf) — the per-component split the
     reference's PTVertexProcessor uses to route diffuse vs specular framebuffer
     channels (src/renderers/pathtracer_vertex_processor.h)."""
     alpha = ggx._alpha(p.roughness)
     r_coeff, w_d, w_dt, w_gt = component_weights(p, wi, wo)
     same = (wi.z * wo.z) > 0.0
-    f_dr = jnp.where(same, INV_PI, 0.0) * w_d
-    f_dt = jnp.where(~same, INV_PI, 0.0) * w_dt
-    g_r = ggx.reflect_eval(alpha, wi, wo)
-    g_t = ggx.refract_eval(alpha, p.ior, wi, wo) * w_gt
+    abs_co = jnp.abs(wo.z)
+    zero = jnp.zeros_like(abs_co)
+    f_dr = jnp.where(same, INV_PI, 0.0) * w_d if lobes[0] else zero
+    f_dt = jnp.where(~same, INV_PI, 0.0) * w_dt if lobes[1] else zero
+    g_r = ggx.reflect_eval(alpha, wi, wo) if lobes[2] else zero
+    g_t = ggx.refract_eval(alpha, p.ior, wi, wo) * w_gt if lobes[3] else zero
     fd = Vec3(
         p.diffuse.x * f_dr + p.diffuse_trans.x * f_dt,
         p.diffuse.y * f_dr + p.diffuse_trans.y * f_dt,
         p.diffuse.z * f_dr + p.diffuse_trans.z * f_dt,
     )
     fg = Vec3(r_coeff.x * g_r + g_t, r_coeff.y * g_r + g_t, r_coeff.z * g_r + g_t)
-    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi)
-    abs_co = jnp.abs(wo.z)
+    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi, lobes)
     mix_pdf = (
-        p_dr * jnp.where(same, abs_co * INV_PI, 0.0)
-        + p_dt * jnp.where(~same, abs_co * INV_PI, 0.0)
-        + p_gr * ggx.reflect_pdf(alpha, wi, wo)
-        + p_gt * ggx.refract_pdf(alpha, p.ior, wi, wo)
+        p_dr * (jnp.where(same, abs_co * INV_PI, 0.0) if lobes[0] else zero)
+        + p_dt * (jnp.where(~same, abs_co * INV_PI, 0.0) if lobes[1] else zero)
+        + p_gr * (ggx.reflect_pdf(alpha, wi, wo) if lobes[2] else zero)
+        + p_gt * (ggx.refract_pdf(alpha, p.ior, wi, wo) if lobes[3] else zero)
     )
     return fd, fg, mix_pdf
 
@@ -222,9 +242,9 @@ class BsdfSample(NamedTuple):
     valid: Array  # pdf > 0
 
 
-def sample(p: BsdfParams, wi: Vec3, u0, u1, u2) -> BsdfSample:
+def sample(p: BsdfParams, wi: Vec3, u0, u1, u2, lobes=ALL_LOBES) -> BsdfSample:
     """One-sample-MIS lobe sampling (Bsdf::sample, bsdf.h:830-1000)."""
-    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi)
+    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi, lobes)
     alpha = ggx._alpha(p.roughness)
     side = jnp.where(wi.z >= 0, 1.0, -1.0)
 
@@ -241,8 +261,13 @@ def sample(p: BsdfParams, wi: Vec3, u0, u1, u2) -> BsdfSample:
     d_loc = square_to_cosine_hemisphere(u0, u1)
     wo_dr = Vec3(d_loc.x, d_loc.y, d_loc.z * side)
     wo_dt = Vec3(d_loc.x, d_loc.y, -d_loc.z * side)
-    wo_gr, _ = ggx.reflect_sample(alpha, wi, u0, u1)
-    wo_gt, pdf_gt_s = ggx.refract_sample(alpha, p.ior, wi, u0, u1)
+    wo_gr, _ = (
+        ggx.reflect_sample(alpha, wi, u0, u1) if lobes[2] else (wo_dr, None)
+    )
+    if lobes[3]:
+        wo_gt, pdf_gt_s = ggx.refract_sample(alpha, p.ior, wi, u0, u1)
+    else:
+        wo_gt, pdf_gt_s = wo_dr, jnp.ones_like(u0)
 
     is_dr = comp == DIFFUSE_REFL
     is_dt = comp == DIFFUSE_TRANS
@@ -264,7 +289,7 @@ def sample(p: BsdfParams, wi: Vec3, u0, u1, u2) -> BsdfSample:
         jax.lax.stop_gradient(wo.y),
         jax.lax.stop_gradient(wo.z),
     )
-    fv, mix_pdf = f_and_pdf(p, wi, wo)
+    fv, mix_pdf = f_and_pdf(p, wi, wo, lobes)
     # glossy-trans TIR lanes have pdf 0
     mix_pdf = jnp.where(is_gt & (pdf_gt_s <= 0.0), 0.0, mix_pdf)
     mix_pdf = jax.lax.stop_gradient(mix_pdf)

@@ -61,6 +61,7 @@ class BPTOptions(NamedTuple):
     light_tracing: bool = True  # t=1 strategies (camera splats)
     single_connection: bool = False  # connect to one sampled light vertex only
     rr: bool = False  # RR disabled by default for BPT (ref default off for light paths)
+    lobes: tuple = (True, True, True, True)
     ray_eps: float = 1.0e-4
     tracer: str = "auto"
     dims_per_bounce: int = 8
@@ -109,11 +110,11 @@ class LightVertices(NamedTuple):
         )
 
 
-def _eval_both(params: BsdfParams, wi_loc: Vec3, wo_loc: Vec3):
+def _eval_both(params: BsdfParams, wi_loc: Vec3, wo_loc: Vec3, lobes):
     """f(wi->wo), pdf(wi->wo), pdf(wo->wi) — the connection kernel needs the
     reverse pdf for the MIS recursion (bpt_utils.h pdf products)."""
-    f, pdf_fwd = f_and_pdf(params, wi_loc, wo_loc)
-    _, pdf_rev = f_and_pdf(params, wo_loc, wi_loc)
+    f, pdf_fwd = f_and_pdf(params, wi_loc, wo_loc, lobes)
+    _, pdf_rev = f_and_pdf(params, wo_loc, wi_loc, lobes)
     return f, _sg(pdf_fwd), _sg(pdf_rev)
 
 
@@ -225,9 +226,9 @@ def render_pass(
         wi_loc = to_local(wi, t_b, b_b, sn_f)
         params = BsdfParams.from_materials(view.mesh.materials.gather(mat_id))
         ub0, ub1, ub2 = seq.sample_3d(pix, jnp.uint32(110 + j * opts.dims_per_bounce))
-        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2)
+        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes)
         # reverse pdf of the chosen direction (for the recursion)
-        _, pdf_rev = f_and_pdf(params, s.wo, wi_loc)
+        _, pdf_rev = f_and_pdf(params, s.wo, wi_loc, opts.lobes)
         pdf_rev = _sg(pdf_rev)
         cos_out = jnp.maximum(jnp.abs(s.wo.z), 1e-8)
         pdf_fwd = _sg(jnp.maximum(s.pdf, 1e-20))
@@ -269,7 +270,7 @@ def render_pass(
             wi_loc = to_local(vwi, t_b, b_b, vn)
             wo_loc = to_local(wo, t_b, b_b, vn)
             params = BsdfParams.from_materials(view.mesh.materials.gather(vmat))
-            f, pdf_fwd, pdf_rev = _eval_both(params, wi_loc, wo_loc)
+            f, pdf_fwd, pdf_rev = _eval_both(params, wi_loc, wo_loc, opts.lobes)
             cos_cam = jnp.abs(wo_loc.z)
             # Unit scheme: the camera direction pdf is normalized over the
             # whole screen; with N_light_paths == N_pixels the pixel-count
@@ -359,7 +360,7 @@ def render_pass(
         wo = to_l * (1.0 / ldist)
         cos_at_light = dot(snl, -wo)
         wo_loc = to_local(wo, t_b, b_b, sn_f)
-        f, pdf_fwd, pdf_rev = _eval_both(params, wi_loc, wo_loc)
+        f, pdf_fwd, pdf_rev = _eval_both(params, wi_loc, wo_loc, opts.lobes)
         cos_here = jnp.abs(wo_loc.z)
         pdf_light_sa = _sg(spdf_a * ldist2 / jnp.maximum(jnp.abs(cos_at_light), 1e-8))
         w_light = _mis(pdf_fwd / jnp.maximum(pdf_light_sa, 1e-20))
@@ -399,14 +400,14 @@ def render_pass(
             cdir = conn * (1.0 / cdist)
             # eye-side bsdf
             co_loc = to_local(cdir, t_b, b_b, sn_f)
-            fe, pdf_e_fwd, pdf_e_rev = _eval_both(params, wi_loc, co_loc)
+            fe, pdf_e_fwd, pdf_e_rev = _eval_both(params, wi_loc, co_loc, opts.lobes)
             cos_e = jnp.abs(co_loc.z)
             # light-side bsdf
             lt_b, lb_b = orthonormal_basis(vn)
             lwi_loc = to_local(vwi, lt_b, lb_b, vn)
             lwo_loc = to_local(-cdir, lt_b, lb_b, vn)
             lparams = BsdfParams.from_materials(view.mesh.materials.gather(vmat))
-            fl, pdf_l_fwd, pdf_l_rev = _eval_both(lparams, lwi_loc, lwo_loc)
+            fl, pdf_l_fwd, pdf_l_rev = _eval_both(lparams, lwi_loc, lwo_loc, opts.lobes)
             cos_lv = jnp.abs(lwo_loc.z)
             g = cos_e * cos_lv / cdist2
             # area pdfs of generating the other vertex
@@ -433,8 +434,8 @@ def render_pass(
 
         # ---- continue the eye walk ----
         ub0, ub1, ub2 = seq.sample_3d(pix, jnp.uint32(300 + t_idx * opts.dims_per_bounce))
-        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2)
-        _, pdf_rev_w = f_and_pdf(params, s.wo, wi_loc)
+        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes)
+        _, pdf_rev_w = f_and_pdf(params, s.wo, wi_loc, opts.lobes)
         pdf_rev_w = _sg(pdf_rev_w)
         cos_out = jnp.maximum(jnp.abs(s.wo.z), 1e-8)
         pdf_fwd_w = _sg(jnp.maximum(s.pdf, 1e-20))

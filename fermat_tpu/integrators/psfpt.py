@@ -49,6 +49,7 @@ class PsfptOptions(NamedTuple):
     ray_eps: float = 1.0e-4
     tracer: str = "auto"
     dims_per_bounce: int = 8
+    lobes: tuple = (True, True, True, True)
 
 
 class PsfptState(NamedTuple):
@@ -169,7 +170,7 @@ def render_pass(
         wo = to_l * (1.0 / dist)
         cos_l = dot(ln, -wo)
         wo_loc = to_local(wo, t_b, b_b, sn_f)
-        fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc)
+        fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc, opts.lobes)
         pdf_sa = jax.lax.stop_gradient(
             lpdf_a * dist2 / jnp.maximum(jnp.abs(cos_l), 1e-8)
         )
@@ -191,7 +192,7 @@ def render_pass(
 
         # scatter + RR
         ub0, ub1, ub2 = seq.sample_3d(pix, base_dim + jnp.uint32(3))
-        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2)
+        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes)
         wo_world = to_world(s.wo, t_b, b_b, sn_f)
         thr = Vec3(thr.x * s.g.x, thr.y * s.g.y, thr.z * s.g.z)
         rel = Vec3(rel.x * s.g.x, rel.y * s.g.y, rel.z * s.g.z)

@@ -75,6 +75,9 @@ class PTOptions(NamedTuple):
     ray_eps: float = 1.0e-4  # self-intersection offset (scene units)
     tracer: str = "auto"  # "bvh" | "brute" | "auto"
     dims_per_bounce: int = 8
+    # static lobe mask (dr, dt, gr, gt) — auto-set from the scene's materials
+    # by RenderingContext (composite.scene_lobes); disabled lobes compile out
+    lobes: tuple = (True, True, True, True)
     # debug: detach whole contribution classes in the backward pass
     detach_nee: bool = False
     detach_emissive: bool = False
@@ -372,7 +375,7 @@ def render_pass(
             wo = to_l * (1.0 / dist)
             cos_l = dot(ln, -wo)  # light must face the shading point
             wo_loc = to_local(wo, t_b, b_b, sn_f)
-            fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc)
+            fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc, opts.lobes)
             pdf_sa = jax.lax.stop_gradient(
                 lpdf_a * dist2 / jnp.maximum(jnp.abs(cos_l), 1e-8)
             )
@@ -430,7 +433,7 @@ def render_pass(
                 dist = jnp.sqrt(dist2)
                 wo = to_l * (1.0 / dist)
                 wo_loc = to_local(wo, t_b, b_b, sn_f)
-                fd, fg, _ = f_split(params, wi_loc, wo_loc)
+                fd, fg, _ = f_split(params, wi_loc, wo_loc, opts.lobes)
                 cos_s = jnp.abs(wo_loc.z)
                 able = valid & ((fd.x + fg.x + fd.y + fg.y + fd.z + fg.z) > 0.0)
                 so = _offset_origin(pos, gn, wo, eps)
@@ -479,7 +482,7 @@ def render_pass(
                     -jnp.broadcast_to(ld.z, (n,)),
                 )
                 wo_loc = to_local(wo, t_b, b_b, sn_f)
-                fd, fg, _ = f_split(params, wi_loc, wo_loc)
+                fd, fg, _ = f_split(params, wi_loc, wo_loc, opts.lobes)
                 cos_s = jnp.abs(wo_loc.z)
                 able = valid & ((fd.x + fg.x + fd.y + fg.y + fd.z + fg.z) > 0.0)
                 so = _offset_origin(pos, gn, wo, eps)
@@ -510,7 +513,7 @@ def render_pass(
 
         # ---- BSDF scatter + RR (shade_vertex tail) ----
         ub0, ub1, ub2 = seq.sample_3d(pix, base_dim + jnp.uint32(3))
-        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2)
+        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes)
         wo_world = to_world(s.wo, t_b, b_b, sn_f)
         new_thr = Vec3(c.thr.x * s.g.x, c.thr.y * s.g.y, c.thr.z * s.g.z)
         new_alive = valid & s.valid & ((s.g.x + s.g.y + s.g.z) > 0.0)

@@ -46,6 +46,7 @@ class PtrlOptions(NamedTuple):
     ray_eps: float = 1.0e-4
     tracer: str = "auto"
     dims_per_bounce: int = 8
+    lobes: tuple = (True, True, True, True)
 
 
 class PtrlState(NamedTuple):
@@ -133,7 +134,7 @@ def render_pass(
         wo = to_l * (1.0 / dist)
         cos_l = dot(ln, -wo)
         wo_loc = to_local(wo, t_b, b_b, sn_f)
-        fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc)
+        fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc, opts.lobes)
         pdf_sa = _sg(lpdf_a * dist2 / jnp.maximum(jnp.abs(cos_l), 1e-8))
         w_mis = _sg(power_heuristic(pdf_sa, bsdf_pdf))
         cos_s = jnp.abs(wo_loc.z)
@@ -165,7 +166,7 @@ def render_pass(
 
         # scatter + RR
         ub0, ub1, ub2 = seq.sample_3d(pix, base_dim + jnp.uint32(3))
-        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2)
+        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes)
         wo_world = to_world(s.wo, t_b, b_b, sn_f)
         thr = Vec3(thr.x * s.g.x, thr.y * s.g.y, thr.z * s.g.z)
         alive = valid & s.valid

@@ -189,6 +189,13 @@ class RenderingContext:
             storage, camera, dir_lights, texture_dir=texture_dir,
             env_radiance=env_radiance, point_light_defs=point_lights,
         )
+        if "lobes" not in renderer_options and renderer in (
+            "pt", "bpt", "psfpt", "ptrl"
+        ):
+            from fermat_tpu.bsdf.composite import scene_lobes
+
+            renderer_options = dict(renderer_options)
+            renderer_options["lobes"] = scene_lobes(storage.materials)
         ctx = RenderingContext(
             view=view,
             res_x=res_x,

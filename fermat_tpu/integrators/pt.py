@@ -330,7 +330,14 @@ def render_pass(
             opts.direct_lighting_bsdf or opts.indirect_lighting_bsdf
         )
         if show:
-            le = emitter_radiance(view.mesh, tri_c, wi, gn=gn, mid=mat_id)
+            # emissive from the already-gathered material row (saves a
+            # second one-hot fetch per bounce)
+            front_e = dot(gn, wi) > 0.0
+            le = Vec3(
+                jnp.where(front_e, mats.emissive.x, 0.0),
+                jnp.where(front_e, mats.emissive.y, 0.0),
+                jnp.where(front_e, mats.emissive.z, 0.0),
+            )
             if first:
                 w_mis = jnp.ones(n, jnp.float32)
             else:

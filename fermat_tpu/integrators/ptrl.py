@@ -99,10 +99,16 @@ def render_pass(
         sn_f = sn * flip
         t_b, b_b = orthonormal_basis(sn_f)
         wi_loc = to_local(wi, t_b, b_b, sn_f)
-        params = BsdfParams.from_materials(view.mesh.materials.gather(mat_id))
+        mats = view.mesh.materials.gather(mat_id)
+        params = BsdfParams.from_materials(mats)
 
         # emissive w/ MIS against the RL pdf of the PREVIOUS cell
-        le = emitter_radiance(view.mesh, tri_c, wi, gn=gn, mid=mat_id)
+        front_e = dot(gn, wi) > 0.0
+        le = Vec3(
+            jnp.where(front_e, mats.emissive.x, 0.0),
+            jnp.where(front_e, mats.emissive.y, 0.0),
+            jnp.where(front_e, mats.emissive.z, 0.0),
+        )
         if b == 0:
             w_mis = jnp.ones(n, jnp.float32)
         else:

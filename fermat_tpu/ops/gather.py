@@ -24,7 +24,11 @@ ONE_HOT_MAX_ROWS = 2048
 
 
 def one_hot_matmul_gather(table: Array, idx: Array) -> Array:
-    """table (R, K) f32, idx (N,) int -> (N, K) via one-hot matmul (MXU)."""
+    """table (R, K) f32, idx (N,) int -> (N, K) via one-hot matmul (MXU).
+
+    XLA materializes the (N, Rp) one-hot matrix in HBM (~130 MB at N=256K,
+    Rp=128) — fine on CPU, dominant cost on TPU; the Pallas variant below
+    keeps it in VMEM."""
     r, k = table.shape
     rp = -(-r // 128) * 128
     tp = jnp.pad(table, ((0, rp - r), (0, 0)))
@@ -33,9 +37,44 @@ def one_hot_matmul_gather(table: Array, idx: Array) -> Array:
     return jnp.dot(onehot, tp, preferred_element_type=jnp.float32)
 
 
+def _onehot_kernel(idx_ref, table_ref, out_ref):
+    blk = idx_ref.shape[0]
+    rp = table_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, rp), 1)
+    onehot = (idx_ref[:] == iota).astype(jnp.float32)  # (blk, rp) in VMEM
+    out_ref[:] = jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32)
+
+
+def _pallas_onehot_gather(table: Array, idx: Array, block: int = 1024) -> Array:
+    """Blocked one-hot matmul: the (BLK, Rp) one-hot never leaves VMEM."""
+    from jax.experimental import pallas as pl
+
+    n = idx.shape[0]
+    r, k = table.shape
+    rp = -(-r // 128) * 128
+    tp = jnp.pad(table.astype(jnp.float32), ((0, rp - r), (0, 0)))
+    n_pad = -(-n // block) * block
+    idx2 = jnp.pad(idx.astype(jnp.int32), (0, n_pad - n)).reshape(n_pad, 1)
+    g = n_pad // block
+    out = pl.pallas_call(
+        _onehot_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda i: (i, 0)),
+            pl.BlockSpec((rp, k), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, k), lambda i: (i, 0)),
+        interpret=jax.default_backend() == "cpu",
+    )(idx2, tp)
+    return out[:n]
+
+
 def gather_rows(table: Array, idx: Array) -> Array:
     """(R, K) rows by (N,) indices -> (N, K); one-hot matmul for small R."""
     r = table.shape[0]
     if r <= ONE_HOT_MAX_ROWS:
+        if jax.default_backend() in ("tpu", "axon") and r <= 4096:
+            return _pallas_onehot_gather(table, idx)
         return one_hot_matmul_gather(table, idx)
     return table[idx]

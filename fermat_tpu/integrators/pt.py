@@ -81,6 +81,10 @@ class PTOptions(NamedTuple):
     # debug: detach whole contribution classes in the backward pass
     detach_nee: bool = False
     detach_emissive: bool = False
+    # debug: NEE cost attribution switches
+    debug_nee_no_shadow: bool = False  # skip the shadow anyhit (biased!)
+    debug_nee_fixed_light: bool = False  # skip lights.sample (biased!)
+    debug_nee_cheap_eval: bool = False  # diffuse-only f instead of f_split
 
 
 def _pick_tracers(view: SceneView, opts: PTOptions):
@@ -375,14 +379,30 @@ def render_pass(
         nee_on = opts.direct_lighting_nee if first else opts.indirect_lighting_nee
         if nee_on:
             ul0, ul1, ul2 = seq.sample_3d(pix, base_dim)
-            lpos, ln, lle, lpdf_a, _ltri = view.lights.sample(view.mesh, ul0, ul1, ul2)
+            if opts.debug_nee_fixed_light:
+                lpos = Vec3(jnp.zeros(n), jnp.full(n, 1.9), jnp.zeros(n))
+                ln = Vec3(jnp.zeros(n), jnp.full(n, -1.0), jnp.zeros(n))
+                lle = Vec3.full((n,), 10.0, 10.0, 10.0)
+                lpdf_a = jnp.full(n, 1.0)
+            else:
+                lpos, ln, lle, lpdf_a, _ltri = view.lights.sample(
+                    view.mesh, ul0, ul1, ul2
+                )
             to_l = lpos - pos
             dist2 = jnp.maximum(dot(to_l, to_l), 1e-12)
             dist = jnp.sqrt(dist2)
             wo = to_l * (1.0 / dist)
             cos_l = dot(ln, -wo)  # light must face the shading point
             wo_loc = to_local(wo, t_b, b_b, sn_f)
-            fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc, opts.lobes)
+            if opts.debug_nee_cheap_eval:
+                from fermat_tpu.core.sampling import INV_PI as _IP
+
+                lam = jnp.where((wi_loc.z * wo_loc.z) > 0.0, _IP, 0.0)
+                fd = Vec3(params.diffuse.x * lam, params.diffuse.y * lam, params.diffuse.z * lam)
+                fg = Vec3.zeros((n,))
+                bsdf_pdf = jnp.abs(wo_loc.z) * _IP
+            else:
+                fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc, opts.lobes)
             pdf_sa = jax.lax.stop_gradient(
                 lpdf_a * dist2 / jnp.maximum(jnp.abs(cos_l), 1e-8)
             )
@@ -401,7 +421,10 @@ def render_pass(
                 & ((fd.x + fd.y + fd.z + fg.x + fg.y + fg.z) > 0.0)
             )
             so = _offset_origin(pos, gn, wo, eps)
-            occluded = anyhit(so, wo, jnp.float32(0.0), dist * (1.0 - 1e-3), able)
+            if opts.debug_nee_no_shadow:
+                occluded = jnp.zeros(n, bool)
+            else:
+                occluded = anyhit(so, wo, jnp.float32(0.0), dist * (1.0 - 1e-3), able)
             c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
             lit = able & ~occluded
             scale = cos_s * w_mis / jnp.maximum(pdf_sa, 1e-12)

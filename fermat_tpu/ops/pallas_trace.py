@@ -207,6 +207,82 @@ def trace_closest_pallas(
     )
 
 
+def _any_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
+    p0x_ref, p0y_ref, p0z_ref, e1x_ref, e1y_ref, e1z_ref,
+    e2x_ref, e2y_ref, e2z_ref,
+    occ_out,
+    *, n_tiles: int,
+):
+    """Occlusion-only kernel: no closest-hit bookkeeping (no argmin/u/v) —
+    the shadow-program analog of optix_rt.cu's binary shadow ray-gen."""
+    blk = ox_ref.shape[0]
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tmin = tmin_ref[:]
+    tmax = tmax_ref[:]
+
+    def tile(j, occ):
+        s = j * TRI_TILE
+        ld = lambda ref: ref[0, pl.ds(s, TRI_TILE)].reshape(1, TRI_TILE)
+        p0x, p0y, p0z = ld(p0x_ref), ld(p0y_ref), ld(p0z_ref)
+        e1x, e1y, e1z = ld(e1x_ref), ld(e1y_ref), ld(e1z_ref)
+        e2x, e2y, e2z = ld(e2x_ref), ld(e2y_ref), ld(e2z_ref)
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = jnp.where(
+            jnp.abs(det) > _EPS_DET, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0
+        )
+        tvx = ox - p0x
+        tvy = oy - p0y
+        tvz = oz - p0z
+        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        ok = (
+            (jnp.abs(det) > _EPS_DET)
+            & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+            & (tt > tmin) & (tt < tmax)
+        )
+        return occ | jnp.any(ok, axis=1, keepdims=True)
+
+    occ = jax.lax.fori_loop(
+        0, n_tiles, tile, jnp.zeros((blk, 1), bool)
+    )
+    occ_out[:] = occ
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _any_impl(tris, o, d, tmin, tmax, block: int):
+    n = o[0].shape[0]
+    n_pad = -(-n // block) * block
+    pad = n_pad - n
+
+    def pr(a):
+        return jnp.pad(a, (0, pad)).reshape(n_pad, 1)
+
+    rays = tuple(pr(a) for a in (*o, *d, tmin, tmax))
+    tp = tris[0].shape[1]
+    n_tiles = tp // TRI_TILE
+    g = n_pad // block
+    ray_spec = pl.BlockSpec((block, 1), lambda i: (i, 0))
+    tri_spec = pl.BlockSpec((1, tp), lambda i: (0, 0))
+    occ = pl.pallas_call(
+        functools.partial(_any_kernel, n_tiles=n_tiles),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), bool),
+        grid=(g,),
+        in_specs=[ray_spec] * 8 + [tri_spec] * 9,
+        out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0)),
+        interpret=_interpret(),
+    )(*rays, *tris)
+    return occ.reshape(n_pad)[:n]
+
+
 def trace_any_pallas(
     mesh: MeshView,
     o: Vec3,
@@ -216,8 +292,13 @@ def trace_any_pallas(
     active: Optional[Array] = None,
     block: int = DEF_BLK,
 ) -> Array:
-    hit = trace_closest_pallas(mesh, o, d, tmin, tmax, active, block)
-    occ = hit.tri >= 0
+    n = o.x.shape[0]
+    tris = _pad_tris(mesh)
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    if active is not None:
+        tmax_b = jnp.where(active, tmax_b, -1.0)
+    occ = _any_impl(tris, (o.x, o.y, o.z), (d.x, d.y, d.z), tmin_b, tmax_b, block)
     if active is not None:
         occ = occ & active
     return occ

@@ -34,6 +34,7 @@ class MeshLightsView(NamedTuple):
     cdf: Array  # (T,) inclusive, normalized to 1 over ALL triangles (mesh_lights.cu:166-285)
     pdf_area: Array  # (T,) area-measure pdf of sampling a point on tri t (0 for non-emissive)
     has_lights: Array  # () bool
+    rows: Array  # (T, 15) light-sample row table: p0 e1 e2 gn Le
 
     @staticmethod
     def build(mesh: MeshView) -> "MeshLightsView":
@@ -56,7 +57,19 @@ class MeshLightsView(NamedTuple):
         pdf_area = jnp.where(
             (w > 0.0) & (area > 0.0), (w / safe_total) / jnp.maximum(area, 1e-20), 0.0
         )
-        return MeshLightsView(cdf=cdf, pdf_area=pdf_area, has_lights=has)
+        # pre-baked light-sample rows: one 15-column fetch per NEE sample
+        # instead of a 28-col geometry fetch + a second emissive fetch
+        rows = jnp.stack(
+            [
+                mesh.p0.x, mesh.p0.y, mesh.p0.z,
+                mesh.e1.x, mesh.e1.y, mesh.e1.z,
+                mesh.e2.x, mesh.e2.y, mesh.e2.z,
+                mesh.gn.x, mesh.gn.y, mesh.gn.z,
+                em.x[mesh.material_id], em.y[mesh.material_id], em.z[mesh.material_id],
+            ],
+            axis=1,
+        )
+        return MeshLightsView(cdf=cdf, pdf_area=pdf_area, has_lights=has, rows=rows)
 
     def sample(
         self, mesh: MeshView, u0: Array, u1: Array, u2: Array
@@ -67,14 +80,24 @@ class MeshLightsView(NamedTuple):
         Mirrors MeshLightsStorage::sample (mesh_lights.cu:298-330): CDF
         upper-bound, then uniform barycentrics.
         """
-        tri = jnp.clip(
-            jnp.searchsorted(self.cdf, u2, side="right"), 0, self.cdf.shape[0] - 1
-        ).astype(jnp.int32)
+        t_count = self.cdf.shape[0]
+        if t_count <= 2048:
+            # fused compare+sum upper_bound — avoids searchsorted's
+            # gather-based binary search (~log T gathers/lane on TPU)
+            tri = jnp.sum(
+                (self.cdf[None, :] <= u2[:, None]).astype(jnp.int32), axis=1
+            )
+        else:
+            tri = jnp.searchsorted(self.cdf, u2, side="right").astype(jnp.int32)
+        tri = jnp.clip(tri, 0, t_count - 1).astype(jnp.int32)
         b0, b1 = square_to_uniform_triangle(u0, u1)
-        # one packed row fetch (one-hot MXU matmul for small meshes)
-        p0, e1, e2, n, _, _, _, _, _, _, mid = mesh.fetch(tri)
+        # one packed row fetch from the pre-baked light table
+        from fermat_tpu.ops.gather import gather_rows
+
+        r = gather_rows(self.rows, tri)
+        vec = lambda cidx: Vec3(r[:, cidx], r[:, cidx + 1], r[:, cidx + 2])
+        p0, e1, e2, n, le = vec(0), vec(3), vec(6), vec(9), vec(12)
         pos = p0 + e1 * b0 + e2 * b1
-        le = _emissive_of(mesh, mid)
         pdf = self.pdf_area[tri]
         return pos, n, le, pdf, tri
 

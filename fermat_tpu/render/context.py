@@ -48,6 +48,13 @@ def _bpt_factory(**kw):
     return bpt_mod.render_pass_fb, opts
 
 
+def _mlt_factory(**kw):
+    from fermat_tpu.integrators import mlt as mlt_mod
+
+    opts = mlt_mod.MLTOptions(**kw)
+    return mlt_mod.render_pass_fb, opts
+
+
 def _pssmlt_factory(**kw):
     from fermat_tpu.integrators import pssmlt as ps
 
@@ -151,6 +158,7 @@ def _ptrl_factory(**kw):
 
 register_renderer("pt", _pt_factory)
 register_renderer("bpt", _bpt_factory)
+register_renderer("mlt", _mlt_factory)
 register_renderer("pssmlt", _pssmlt_factory)
 register_renderer("psfpt", _psfpt_factory)
 register_renderer("ptrl", _ptrl_factory)
@@ -190,7 +198,7 @@ class RenderingContext:
             env_radiance=env_radiance, point_light_defs=point_lights,
         )
         if "lobes" not in renderer_options and renderer in (
-            "pt", "bpt", "psfpt", "ptrl"
+            "pt", "bpt", "psfpt", "ptrl", "mlt"
         ):
             from fermat_tpu.bsdf.composite import scene_lobes
 

@@ -279,9 +279,16 @@ _ALBEDO_TABLE_NP = None
 def glossy_reflectance(roughness: Array, cos_theta: Array) -> Array:
     """Bilinear lookup of the F=1 GGX directional albedo (Kelemen coupling).
 
-    The table is cached as a HOST numpy array and converted per call: caching
-    a device array created inside a jit trace would leak tracers across
-    traces; jnp.asarray of a host constant is folded by XLA.
+    GATHER-FREE: `t[r0, c0]`-style 2D gathers lower to ~10 cycles/lane on
+    TPU and were ~55% of the whole 512^2 PT pass (PERF_ATTRIB.md round 2).
+    Instead the bilinear interpolation weights are placed directly into
+    sparse row/column weight matrices and the lookup becomes one
+    (N, 32) @ (32, 32) MXU matmul + a lane reduction — numerically identical
+    to the 4-corner gather formulation.
+
+    The table is cached as a HOST numpy array and converted per call: jnp
+    constants created inside a jit trace would leak tracers across traces;
+    jnp.asarray of a host constant is folded by XLA.
     """
     global _ALBEDO_TABLE_NP
     if _ALBEDO_TABLE_NP is None:
@@ -296,13 +303,14 @@ def glossy_reflectance(roughness: Array, cos_theta: Array) -> Array:
     c1 = jnp.minimum(c0 + 1, res - 1)
     fr = jnp.clip(r - r0, 0.0, 1.0)
     fc = jnp.clip(c - c0, 0.0, 1.0)
-    v00 = t[r0, c0]
-    v01 = t[r0, c1]
-    v10 = t[r1, c0]
-    v11 = t[r1, c1]
-    return (
-        v00 * (1 - fr) * (1 - fc)
-        + v01 * (1 - fr) * fc
-        + v10 * fr * (1 - fc)
-        + v11 * fr * fc
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, res), 1)
+    w_r = (
+        (iota == r0[:, None]) * (1.0 - fr)[:, None]
+        + (iota == r1[:, None]) * fr[:, None]
     )
+    w_c = (
+        (iota == c0[:, None]) * (1.0 - fc)[:, None]
+        + (iota == c1[:, None]) * fc[:, None]
+    )
+    rows = jnp.dot(w_r, t, preferred_element_type=jnp.float32)  # (N, res)
+    return jnp.sum(rows * w_c, axis=1)

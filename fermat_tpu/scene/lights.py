@@ -34,7 +34,7 @@ class MeshLightsView(NamedTuple):
     cdf: Array  # (T,) inclusive, normalized to 1 over ALL triangles (mesh_lights.cu:166-285)
     pdf_area: Array  # (T,) area-measure pdf of sampling a point on tri t (0 for non-emissive)
     has_lights: Array  # () bool
-    rows: Array  # (T, 15) light-sample row table: p0 e1 e2 gn Le
+    rows: Array  # (T, 16) light-sample row table: p0 e1 e2 gn Le pdf_area
 
     @staticmethod
     def build(mesh: MeshView) -> "MeshLightsView":
@@ -57,8 +57,9 @@ class MeshLightsView(NamedTuple):
         pdf_area = jnp.where(
             (w > 0.0) & (area > 0.0), (w / safe_total) / jnp.maximum(area, 1e-20), 0.0
         )
-        # pre-baked light-sample rows: one 15-column fetch per NEE sample
-        # instead of a 28-col geometry fetch + a second emissive fetch
+        # pre-baked light-sample rows: one 16-column fetch per NEE sample
+        # instead of a 28-col geometry fetch + a second emissive fetch;
+        # pdf_area rides as col 15 so sample() needs no extra (T,) gather
         rows = jnp.stack(
             [
                 mesh.p0.x, mesh.p0.y, mesh.p0.z,
@@ -66,6 +67,7 @@ class MeshLightsView(NamedTuple):
                 mesh.e2.x, mesh.e2.y, mesh.e2.z,
                 mesh.gn.x, mesh.gn.y, mesh.gn.z,
                 em.x[mesh.material_id], em.y[mesh.material_id], em.z[mesh.material_id],
+                pdf_area,
             ],
             axis=1,
         )
@@ -98,12 +100,20 @@ class MeshLightsView(NamedTuple):
         vec = lambda cidx: Vec3(r[:, cidx], r[:, cidx + 1], r[:, cidx + 2])
         p0, e1, e2, n, le = vec(0), vec(3), vec(6), vec(9), vec(12)
         pos = p0 + e1 * b0 + e2 * b1
-        pdf = self.pdf_area[tri]
+        pdf = r[:, 15]  # col 15: no separate (T,) scalar gather (PERF_ATTRIB)
         return pos, n, le, pdf, tri
 
     def pdf_area_of(self, tri: Array) -> Array:
-        """Area pdf for MIS when a BSDF ray hits an emitter (tri >= 0)."""
-        return self.pdf_area[jnp.maximum(tri, 0)]
+        """Area pdf for MIS when a BSDF ray hits an emitter (tri >= 0).
+
+        One-hot row fetch for small tables — the plain `pdf_area[tri]`
+        gather cost ~0.8 ms/bounce at 512^2 (PERF_ATTRIB.md)."""
+        tri_c = jnp.maximum(tri, 0)
+        if self.pdf_area.shape[0] <= 2048:
+            from fermat_tpu.ops.gather import gather_rows
+
+            return gather_rows(self.pdf_area[:, None], tri_c)[:, 0]
+        return self.pdf_area[tri_c]
 
 
 def _emissive_of(mesh: MeshView, mid: Array) -> Vec3:

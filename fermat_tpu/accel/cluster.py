@@ -1,0 +1,137 @@
+"""Two-level clustered acceleration structure for the Pallas trace kernels.
+
+Reference analog: the RTX BVH behind RTContext (src/rt.cpp:284-325 TRBVH
+build; traversal rt.cpp:558-650). A GPU BVH walks per-thread stacks —
+the exact shape a TPU cannot vectorize (per-lane dynamic gathers). The
+TPU-native equivalent keeps the *hierarchy* but re-shapes it for the VPU
+and the memory system:
+
+  * triangles are morton-ordered into 128-triangle CLUSTERS (one VPU lane
+    tile per cluster) and clusters into 8-cluster GROUPS (one DMA unit =
+    1024 triangles = 40 KB),
+  * the packed triangle data lives in HBM as a single (10, C_pad, 128)
+    array — component-major so a group DMA is one aligned (10, 8, 128)
+    rectangle — and is staged into VMEM scratch per group on demand,
+  * each GROUP carries an AABB; the trace kernel slab-tests every ray
+    block against ALL group boxes as dense (rays x 128-group) tiles — a
+    vectorized, branch-free "top level" — then runs the proven dense
+    Moller-Trumbore tile test only for groups the block actually overlaps
+    (lax.cond per group skips both the DMA and the math).
+
+This preserves the O(log)-ish culling of a BVH for coherent ray blocks
+while every executed instruction stays a dense (BLK, 128) vector op, and
+scene size is bounded by HBM (16 GB ≈ 400 M triangles), not VMEM.
+Original triangle ids ride along as an f32 row so the kernel needs no
+gather to un-permute its hit ids (exact for meshes < 2^24 triangles).
+
+Build is host-side numpy (one-time, like the SAH builder in accel/bvh.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CLUSTER = 128  # triangles per cluster == VPU lane width
+GROUP = 8  # clusters per group == sublanes per DMA tile
+
+
+class ClusterView(NamedTuple):
+    """Device view: packed permuted soup (HBM) + group AABBs (VMEM)."""
+
+    # (10, C_pad, 128) f32, C_pad = n_groups * 8. Rows on axis 0:
+    # p0x p0y p0z e1x e1y e1z e2x e2y e2z oid. Padding triangles are
+    # degenerate (det == 0) and carry oid == -1.
+    tri: jax.Array
+    # (1, G_pad) group bounds, G_pad = ceil(G/128)*128; padding boxes empty
+    lo_x: jax.Array
+    lo_y: jax.Array
+    lo_z: jax.Array
+    hi_x: jax.Array
+    hi_y: jax.Array
+    hi_z: jax.Array
+
+    @property
+    def n_clusters(self) -> int:
+        return self.tri.shape[1]
+
+    @property
+    def n_groups(self) -> int:
+        return self.tri.shape[1] // GROUP
+
+
+def _morton3d_np(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """10-bit-per-axis 3D morton codes (cugar/bits/morton.h analog)."""
+
+    def expand(v):
+        v = v.astype(np.uint64) & 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (expand(x) << 2) | (expand(y) << 1) | expand(z)
+
+
+def build_clusters(mesh_view) -> ClusterView:
+    """Morton-sort triangles into 128-wide clusters / 1024-wide groups."""
+    p0 = np.stack([np.asarray(mesh_view.p0.x), np.asarray(mesh_view.p0.y),
+                   np.asarray(mesh_view.p0.z)], axis=1)
+    e1 = np.stack([np.asarray(mesh_view.e1.x), np.asarray(mesh_view.e1.y),
+                   np.asarray(mesh_view.e1.z)], axis=1)
+    e2 = np.stack([np.asarray(mesh_view.e2.x), np.asarray(mesh_view.e2.y),
+                   np.asarray(mesh_view.e2.z)], axis=1)
+    t = p0.shape[0]
+    v1 = p0 + e1
+    v2 = p0 + e2
+    cent = (p0 + v1 + v2) / 3.0
+    lo = cent.min(axis=0)
+    hi = cent.max(axis=0)
+    ext = np.maximum(hi - lo, 1e-12)
+    q = np.clip(((cent - lo) / ext) * 1023.0, 0, 1023).astype(np.uint32)
+    code = _morton3d_np(q[:, 0], q[:, 1], q[:, 2])
+    order = np.argsort(code, kind="stable").astype(np.int64)
+
+    n_clusters = -(-t // CLUSTER)
+    c_pad = -(-n_clusters // GROUP) * GROUP  # clusters padded to group size
+    tp = c_pad * CLUSTER
+    pad = tp - t
+
+    def perm_pad(a):
+        return np.concatenate([a[order], np.zeros(pad, a.dtype)])
+
+    comps = [perm_pad(p0[:, 0]), perm_pad(p0[:, 1]), perm_pad(p0[:, 2]),
+             perm_pad(e1[:, 0]), perm_pad(e1[:, 1]), perm_pad(e1[:, 2]),
+             perm_pad(e2[:, 0]), perm_pad(e2[:, 1]), perm_pad(e2[:, 2]),
+             np.concatenate([order.astype(np.float32),
+                             np.full(pad, -1.0, np.float32)])]
+    tri = np.stack([c.astype(np.float32).reshape(c_pad, CLUSTER) for c in comps])
+
+    # group bboxes over all three vertices (empty box for pure padding)
+    p0p = np.stack(comps[0:3], 1)
+    e1p = np.stack(comps[3:6], 1)
+    e2p = np.stack(comps[6:9], 1)
+    v1p = p0p + e1p
+    v2p = p0p + e2p
+    mask = np.concatenate([np.ones(t, bool), np.zeros(pad, bool)])
+    big = 3.0e38
+    mins = np.where(mask[:, None], np.minimum(np.minimum(p0p, v1p), v2p), big)
+    maxs = np.where(mask[:, None], np.maximum(np.maximum(p0p, v1p), v2p), -big)
+    n_groups = c_pad // GROUP
+    g_lo = mins.reshape(n_groups, GROUP * CLUSTER, 3).min(axis=1)
+    g_hi = maxs.reshape(n_groups, GROUP * CLUSTER, 3).max(axis=1)
+
+    gp = -(-n_groups // 128) * 128
+    gpad = gp - n_groups
+    g_lo = np.concatenate([g_lo, np.full((gpad, 3), big, np.float32)])
+    g_hi = np.concatenate([g_hi, np.full((gpad, 3), -big, np.float32)])
+
+    r = lambda a: jnp.asarray(a.astype(np.float32)).reshape(1, -1)
+    return ClusterView(
+        tri=jnp.asarray(tri),
+        lo_x=r(g_lo[:, 0]), lo_y=r(g_lo[:, 1]), lo_z=r(g_lo[:, 2]),
+        hi_x=r(g_hi[:, 0]), hi_y=r(g_hi[:, 1]), hi_z=r(g_hi[:, 2]),
+    )

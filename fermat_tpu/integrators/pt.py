@@ -97,11 +97,26 @@ def _pick_tracers(view: SceneView, opts: PTOptions):
     t = view.mesh.n_triangles
     mode = opts.tracer
     if mode == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
         if t <= 4096:
-            mode = "pallas" if jax.default_backend() in ("tpu", "axon") else "brute"
+            mode = "pallas" if on_tpu else "brute"
+        elif on_tpu and view.clusters is not None:
+            mode = "cluster"
         else:
             mode = "bvh"
-    if mode == "pallas":
+    if mode == "cluster":
+        from fermat_tpu.ops.pallas_cluster_trace import (
+            trace_any_cluster,
+            trace_closest_cluster,
+        )
+
+        closest = lambda o, d, tmin, tmax, active: trace_closest_cluster(
+            view.clusters, o, d, tmin, tmax, active
+        )
+        anyhit = lambda o, d, tmin, tmax, active: trace_any_cluster(
+            view.clusters, o, d, tmin, tmax, active
+        )
+    elif mode == "pallas":
         from fermat_tpu.ops.pallas_trace import trace_any_pallas, trace_closest_pallas
 
         closest = lambda o, d, tmin, tmax, active: trace_closest_pallas(

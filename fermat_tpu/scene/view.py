@@ -34,6 +34,7 @@ class SceneView(NamedTuple):
     textures: TextureAtlas
     env: "jax.Array"  # (3,) constant environment radiance (0 = none)
     point_lights: "object"  # PointLightsView (delta lights)
+    clusters: "object" = None  # accel.cluster.ClusterView (large-scene TPU path)
 
     @property
     def has_textures(self) -> bool:
@@ -87,6 +88,9 @@ class SceneView(NamedTuple):
 
         mesh = storage.device_view()
         bvh = build_bvh_for_mesh(mesh, leaf_size=leaf_size)
+        from fermat_tpu.accel.cluster import build_clusters
+
+        clusters = build_clusters(mesh)
         lights = MeshLightsView.build(mesh)
         dl = DirectionalLightsView.build(list(dir_light_defs))
         atlas = TextureAtlas.build(images)
@@ -98,4 +102,5 @@ class SceneView(NamedTuple):
             mesh=mesh, bvh=bvh, lights=lights, dir_lights=dl, camera=camera,
             textures=atlas, env=jnp.asarray(env_radiance, jnp.float32),
             point_lights=PointLightsView.build(list(point_light_defs)),
+            clusters=clusters,
         )

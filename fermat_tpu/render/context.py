@@ -48,11 +48,51 @@ def _bpt_factory(**kw):
     return bpt_mod.render_pass_fb, opts
 
 
+def _rpt_factory(**kw):
+    from fermat_tpu.integrators import rpt as rpt_mod
+
+    opts = rpt_mod.RPTOptions(**kw)
+    return rpt_mod.render_pass_fb, opts
+
+
 def _mlt_factory(**kw):
     from fermat_tpu.integrators import mlt as mlt_mod
 
     opts = mlt_mod.MLTOptions(**kw)
     return mlt_mod.render_pass_fb, opts
+
+
+def _cmlt_factory(**kw):
+    from fermat_tpu.integrators import cmlt as cm
+
+    opts = cm.CMLTOptions(**kw)
+
+    def init(view, res_x, res_y, seed):
+        n = opts.n_chains if opts.n_chains > 0 else res_x * res_y
+        return cm.init_state(view, opts, res_x, res_y, n, seed)
+
+    def pass_fn(view, opts_, res_x, res_y, instance, seed, state):
+        from fermat_tpu.core.math import Vec3
+        from fermat_tpu.integrators.pt import _PassOutput
+
+        new_state, splat, rays = cm.step(view, opts_, res_x, res_y, state)
+        n = res_x * res_y
+        comp = Vec3(splat[:, 0], splat[:, 1], splat[:, 2])
+        zero3 = Vec3.zeros((n,))
+        out = _PassOutput(
+            direct=zero3, diffuse=zero3, specular=zero3, composited=comp,
+            diffuse_albedo=zero3, specular_albedo=zero3,
+            depth=jnp.full(n, jnp.inf, jnp.float32),
+            tri=jnp.full(n, -1, jnp.int32), normal=zero3, position=zero3,
+            uv=jnp.zeros((n, 2), jnp.float32),
+            material=jnp.full(n, -1, jnp.int32),
+            rays=rays,
+        )
+        return out, new_state
+
+    pass_fn.stateful = True
+    pass_fn.init = init
+    return pass_fn, opts
 
 
 def _pssmlt_factory(**kw):
@@ -159,6 +199,8 @@ def _ptrl_factory(**kw):
 register_renderer("pt", _pt_factory)
 register_renderer("bpt", _bpt_factory)
 register_renderer("mlt", _mlt_factory)
+register_renderer("cmlt", _cmlt_factory)
+register_renderer("rpt", _rpt_factory)
 register_renderer("pssmlt", _pssmlt_factory)
 register_renderer("psfpt", _psfpt_factory)
 register_renderer("ptrl", _ptrl_factory)
@@ -198,7 +240,7 @@ class RenderingContext:
             env_radiance=env_radiance, point_light_defs=point_lights,
         )
         if "lobes" not in renderer_options and renderer in (
-            "pt", "bpt", "psfpt", "ptrl", "mlt"
+            "pt", "bpt", "psfpt", "ptrl", "mlt", "cmlt", "rpt"
         ):
             from fermat_tpu.bsdf.composite import scene_lobes
 

@@ -70,6 +70,7 @@ class PTOptions(NamedTuple):
     indirect_lighting_nee: bool = True
     indirect_lighting_bsdf: bool = True
     visible_lights: bool = True  # show emitters to primary rays
+    nee: str = "mesh"  # "mesh" = emissive CDF | "vpl" = presampled VPL set
     rr: bool = True  # russian roulette (pathtracer.h `rr`)
     rr_start_bounce: int = 2
     ray_eps: float = 1.0e-4  # self-intersection offset (scene units)
@@ -357,13 +358,28 @@ def render_pass(
                 jnp.where(front_e, mats.emissive.y, 0.0),
                 jnp.where(front_e, mats.emissive.z, 0.0),
             )
+            if view.has_textures:
+                # textured emitters: modulate by the emissive map at the
+                # hit (mesh_lights.cu texture_lookup on material.emissive)
+                from fermat_tpu.scene.textures import modulate
+
+                rgba_e = view.textures.sample(
+                    mats.emissive_map, uv[:, 0], uv[:, 1], None
+                )
+                le = modulate(le, rgba_e)
             if first:
                 w_mis = jnp.ones(n, jnp.float32)
             else:
                 # MIS vs the NEE strategy that could have sampled this
                 # emitter: the NEE at vertex b-1 (direct when b == 1).
                 is_direct = jnp.asarray(b, jnp.int32) == 1
-                pdf_area = view.lights.pdf_area_of(tri_c)
+                if opts.nee == "vpl":
+                    # VPL density: lum(Le at the hit) / emission integral
+                    pdf_area = (
+                        0.2126 * le.x + 0.7152 * le.y + 0.0722 * le.z
+                    ) / jnp.maximum(view.vpls.norm, 1e-20)
+                else:
+                    pdf_area = view.lights.pdf_area_of(tri_c)
                 # miss lanes carry t = 3e38: t*t overflows to inf and
                 # 0 * inf = NaN would poison masked-lane cotangents
                 t_safe = jnp.where(valid, hit.t, 1.0)
@@ -399,10 +415,22 @@ def render_pass(
                 ln = Vec3(jnp.zeros(n), jnp.full(n, -1.0), jnp.zeros(n))
                 lle = Vec3.full((n,), 10.0, 10.0, 10.0)
                 lpdf_a = jnp.full(n, 1.0)
+            elif opts.nee == "vpl" and view.vpls is not None:
+                # uniform pick from the presampled emission-proportional
+                # VPL set (mesh_lights.cu VPL mode; Le already textured)
+                lpos, ln, lle, lpdf_a, _ltri = view.vpls.sample(ul2)
             else:
-                lpos, ln, lle, lpdf_a, _ltri = view.lights.sample(
-                    view.mesh, ul0, ul1, ul2
-                )
+                if view.has_textures:
+                    (lpos, ln, lle, lpdf_a, _ltri, luv_u, luv_v,
+                     lemap) = view.lights.sample_ex(view.mesh, ul0, ul1, ul2)
+                    from fermat_tpu.scene.textures import modulate as _mod
+
+                    rgba_l = view.textures.sample(lemap, luv_u, luv_v, None)
+                    lle = _mod(lle, rgba_l)
+                else:
+                    lpos, ln, lle, lpdf_a, _ltri = view.lights.sample(
+                        view.mesh, ul0, ul1, ul2
+                    )
             to_l = lpos - pos
             dist2 = jnp.maximum(dot(to_l, to_l), 1e-12)
             dist = jnp.sqrt(dist2)

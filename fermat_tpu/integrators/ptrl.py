@@ -38,6 +38,9 @@ class PtrlOptions(NamedTuple):
     max_path_length: int = 6
     n_clusters: int = 16
     table_size: int = 1 << 14
+    sampler: str = "vtl"  # "vtl" = light-BVH cut over VTLs; "tri" = morton chunks
+    n_vtls: int = 1024  # VTL decomposition target (mesh_lights.cu:694)
+    adapt_every: int = 8  # cluster-cut refinement cadence (0 = static cut)
     bias: float = 0.25  # uniform mixing floor (clustered_rl bias term)
     learning_rate: float = 0.15
     cell_size: float = 0.1
@@ -109,10 +112,16 @@ def render_pass(
             jnp.where(front_e, mats.emissive.y, 0.0),
             jnp.where(front_e, mats.emissive.z, 0.0),
         )
+        is_vtl = hasattr(clusters, "rows")  # VTLView vs RLClusters (static)
         if b == 0:
             w_mis = jnp.ones(n, jnp.float32)
         else:
-            pdf_area = rl.pdf_area_of(clusters, qstate, prev_cell, tri_c, opts.bias)
+            if is_vtl:
+                pdf_area = rl.pdf_area_of_vtl(
+                    clusters, qstate, prev_cell, tri_c, hit.u, hit.v, opts.bias
+                )
+            else:
+                pdf_area = rl.pdf_area_of(clusters, qstate, prev_cell, tri_c, opts.bias)
             t_safe = jnp.where(valid, hit.t, 1.0)
             cos_l = jnp.abs(dot(gn, wi))
             pdf_sa = pdf_area * t_safe * t_safe / jnp.maximum(cos_l, 1e-8)
@@ -131,9 +140,14 @@ def render_pass(
         )
         ul0, ul1, ul2 = seq.sample_3d(pix, base_dim)
         ul3 = seq.sample_1d(pix, base_dim + jnp.uint32(5))
-        lpos, ln, lle, lpdf_a, ltri, lcl = rl.sample(
-            clusters, qstate, view.mesh, cell, ul0, ul1, ul2, ul3, opts.bias
-        )
+        if is_vtl:
+            lpos, ln, lle, lpdf_a, ltri, lcl, _slot = rl.sample_vtl(
+                clusters, qstate, cell, ul0, ul1, ul2, ul3, opts.bias
+            )
+        else:
+            lpos, ln, lle, lpdf_a, ltri, lcl = rl.sample(
+                clusters, qstate, view.mesh, cell, ul0, ul1, ul2, ul3, opts.bias
+            )
         to_l = lpos - pos
         dist2 = jnp.maximum(dot(to_l, to_l), 1e-12)
         dist = jnp.sqrt(dist2)

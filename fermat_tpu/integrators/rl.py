@@ -213,3 +213,99 @@ def update(
         seen, (1.0 - lr) * state.q + lr * mean_r.reshape(k, c), state.q
     )
     return RLState(q=q_new)
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: VTL clusters from the light-BVH cut (scene/mesh_lights.py).
+# Reference: direct_lighting_rl.h sampling over MeshVTLStorage clusters +
+# clustered_rl_inline.h's adaptive cuts.
+# ---------------------------------------------------------------------------
+
+def _fetch_vtl_rows(vtls, slot: Array) -> Array:
+    if vtls.rows.shape[0] <= 2048:
+        from fermat_tpu.ops.gather import gather_rows
+
+        return gather_rows(vtls.rows, slot)
+    return vtls.rows[slot]
+
+
+def sample_vtl(
+    vtls,
+    state: RLState,
+    cell: Array,
+    u0: Array,
+    u1: Array,
+    u2: Array,
+    u3: Array,
+    bias: float = 0.25,
+):
+    """Sample a light point from the VTL set: cluster by Q, VTL by power
+    CDF, point uniformly in the sub-triangle. One row fetch; no mesh
+    gathers (the rows bake the sub-triangle's world geometry).
+
+    Returns (pos, normal, Le, pdf_area, tri, cluster, slot).
+    """
+    n = cell.shape[0]
+    v = vtls.rows.shape[0]
+    if v == 0:
+        z = jnp.zeros(n, jnp.float32)
+        zv = Vec3.zeros((n,))
+        zi = jnp.zeros(n, jnp.int32)
+        return zv, zv, zv, z, zi, zi, zi
+    probs = cluster_probs(state, cell, bias)  # (N, C)
+    cdf = jnp.cumsum(probs, axis=1)
+    cl = jnp.minimum(
+        jnp.sum((cdf < u2[:, None]).astype(jnp.int32), axis=1),
+        vtls.n_clusters - 1,
+    )
+    p_cl = jnp.take_along_axis(probs, cl[:, None], axis=1)[:, 0]
+    lo = vtls.cluster_offset[cl]
+    hi = vtls.cluster_offset[cl + 1]
+
+    def step(_, carry):
+        lo_, hi_ = carry
+        mid = (lo_ + hi_) // 2
+        val = vtls.seg_cdf[jnp.clip(mid, 0, v - 1)]
+        go_right = val < u3
+        return (jnp.where(go_right, mid + 1, lo_), jnp.where(go_right, hi_, mid))
+
+    lo2, _ = jax.lax.fori_loop(0, 18, step, (lo, hi))
+    slot = jnp.clip(lo2, 0, v - 1)
+    r = _fetch_vtl_rows(vtls, slot)
+    vec = lambda c0: Vec3(r[:, c0], r[:, c0 + 1], r[:, c0 + 2])
+    q0, d1, d2, nrm, le = vec(0), vec(3), vec(6), vec(9), vec(12)
+    s, t = square_to_uniform_triangle(u0, u1)
+    pos = q0 + d1 * s + d2 * t
+    pdf_area = p_cl * r[:, 15]
+    empty = hi <= lo
+    pdf_area = jnp.where(empty, 0.0, pdf_area)
+    return pos, nrm, le, pdf_area, vtls.tri[slot], cl, slot
+
+
+def pdf_area_of_vtl(
+    vtls,
+    state: RLState,
+    cell: Array,
+    tri: Array,
+    u: Array,
+    v: Array,
+    bias: float = 0.25,
+) -> Array:
+    """Area pdf the VTL sampler assigns to the hit (tri, u, v) — the MIS
+    counterpart for emissive BSDF hits. Uses the closed-form barycentric
+    quadtree descent to find the containing VTL."""
+    from fermat_tpu.scene.mesh_lights import locate
+
+    nv = vtls.rows.shape[0]
+    if nv == 0:
+        return jnp.zeros(tri.shape[0], jnp.float32)
+    tri_c = jnp.maximum(tri, 0)
+    base = vtls.vtl_base[tri_c]
+    depth = vtls.vtl_depth[tri_c]
+    local = locate(u, v, depth)
+    slot = vtls.leaf_slot[jnp.clip(base + local, 0, nv - 1)]
+    cl = vtls.cluster_of[slot]
+    probs = cluster_probs(state, cell, bias)
+    p_cl = jnp.take_along_axis(probs, cl[:, None], axis=1)[:, 0]
+    pdf = p_cl * vtls.pdf_area[slot]
+    return jnp.where(base >= 0, pdf, 0.0)

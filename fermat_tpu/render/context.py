@@ -168,12 +168,48 @@ def _ptrl_factory(**kw):
     clusters_box = {}
 
     def init(view, res_x, res_y, seed):
-        clusters_box["c"] = rl_mod.build_clusters(view.mesh, opts.n_clusters)
+        if opts.sampler == "vtl":
+            from fermat_tpu.scene.mesh_lights import build_vtls
+
+            vtls, cut = build_vtls(
+                view.mesh, target_clusters=opts.n_clusters,
+                n_target_vtls=opts.n_vtls,
+            )
+            clusters_box["c"] = vtls
+            clusters_box["cut"] = cut
+        else:
+            clusters_box["c"] = rl_mod.build_clusters(view.mesh, opts.n_clusters)
+        clusters_box["passes"] = 0
         return pr.init_state(view, opts)
 
     def pass_fn(view, opts_, res_x, res_y, instance, seed, state):
         from fermat_tpu.core.math import Vec3
         from fermat_tpu.integrators.pt import _PassOutput
+
+        # adaptive cluster-cut refinement between passes
+        # (clustered_rl_inline.h analog: host cut step + device Q remap)
+        clusters_box["passes"] += 1
+        cut = clusters_box.get("cut")
+        if (
+            cut is not None and opts.adapt_every > 0
+            and clusters_box["passes"] % opts.adapt_every == 0
+        ):
+            import numpy as _np
+
+            from fermat_tpu.integrators.rl import RLState
+            from fermat_tpu.scene.mesh_lights import reclustered
+
+            value = _np.asarray(state.qstate.q.mean(axis=0))[: cut.n_clusters]
+            m = cut.adapt(value)
+            if m is not None:
+                clusters_box["c"] = reclustered(clusters_box["c"], cut)
+                q_new = state.qstate.q[:, : m.shape[1]] @ jnp.asarray(m).T
+                pad = state.qstate.q.shape[1] - q_new.shape[1]
+                if pad > 0:
+                    q_new = jnp.concatenate(
+                        [q_new, state.qstate.q[:, q_new.shape[1]:]], axis=1
+                    )
+                state = state._replace(qstate=RLState(q=q_new))
 
         out, new_state, rays = pr.render_pass(
             view, opts_, clusters_box["c"], res_x, res_y, instance, state, seed

@@ -34,22 +34,25 @@ class MeshLightsView(NamedTuple):
     cdf: Array  # (T,) inclusive, normalized to 1 over ALL triangles (mesh_lights.cu:166-285)
     pdf_area: Array  # (T,) area-measure pdf of sampling a point on tri t (0 for non-emissive)
     has_lights: Array  # () bool
-    rows: Array  # (T, 16) light-sample row table: p0 e1 e2 gn Le pdf_area
+    rows: Array  # (T, 23) light-sample row table: p0 e1 e2 gn Le pdf_area uv0 duv1 duv2 emap
 
     @staticmethod
-    def build(mesh: MeshView) -> "MeshLightsView":
+    def build(mesh: MeshView, weights: Optional[Array] = None) -> "MeshLightsView":
         """Weight = luminance(emissive) * area (EDF x area integral,
-        mesh_lights.cu:164-254; texture integral omitted until textured
-        emitters land)."""
+        mesh_lights.cu:164-254); pass `weights` (T,) to fold in the
+        texture-integral estimate (mesh_lights.textured_tri_energies)."""
         mats = mesh.materials
         em = mats.emissive
-        lum = (
-            0.2126 * em.x[mesh.material_id]
-            + 0.7152 * em.y[mesh.material_id]
-            + 0.0722 * em.z[mesh.material_id]
-        )
         area = mesh.triangle_areas()
-        w = jnp.maximum(lum, 0.0) * area
+        if weights is None:
+            lum = (
+                0.2126 * em.x[mesh.material_id]
+                + 0.7152 * em.y[mesh.material_id]
+                + 0.0722 * em.z[mesh.material_id]
+            )
+            w = jnp.maximum(lum, 0.0) * area
+        else:
+            w = jnp.maximum(jnp.asarray(weights, jnp.float32), 0.0)
         total = jnp.sum(w)
         has = total > 0.0
         safe_total = jnp.where(has, total, 1.0)
@@ -57,9 +60,11 @@ class MeshLightsView(NamedTuple):
         pdf_area = jnp.where(
             (w > 0.0) & (area > 0.0), (w / safe_total) / jnp.maximum(area, 1e-20), 0.0
         )
-        # pre-baked light-sample rows: one 16-column fetch per NEE sample
+        # pre-baked light-sample rows: one 23-column fetch per NEE sample
         # instead of a 28-col geometry fetch + a second emissive fetch;
-        # pdf_area rides as col 15 so sample() needs no extra (T,) gather
+        # pdf_area rides as col 15, texture uvs + emissive map as cols
+        # 16:23 so a textured-emitter NEE needs no mesh gather either
+        emap = mats.emissive_map[mesh.material_id].astype(jnp.float32)
         rows = jnp.stack(
             [
                 mesh.p0.x, mesh.p0.y, mesh.p0.z,
@@ -68,6 +73,10 @@ class MeshLightsView(NamedTuple):
                 mesh.gn.x, mesh.gn.y, mesh.gn.z,
                 em.x[mesh.material_id], em.y[mesh.material_id], em.z[mesh.material_id],
                 pdf_area,
+                mesh.uv0[:, 0], mesh.uv0[:, 1],
+                mesh.uv1[:, 0] - mesh.uv0[:, 0], mesh.uv1[:, 1] - mesh.uv0[:, 1],
+                mesh.uv2[:, 0] - mesh.uv0[:, 0], mesh.uv2[:, 1] - mesh.uv0[:, 1],
+                emap,
             ],
             axis=1,
         )
@@ -102,6 +111,30 @@ class MeshLightsView(NamedTuple):
         pos = p0 + e1 * b0 + e2 * b1
         pdf = r[:, 15]  # col 15: no separate (T,) scalar gather (PERF_ATTRIB)
         return pos, n, le, pdf, tri
+
+    def sample_ex(self, mesh: MeshView, u0: Array, u1: Array, u2: Array):
+        """sample() plus the sampled point's texture coords and the
+        emitter's emissive-map index (for textured-emitter radiance)."""
+        t_count = self.cdf.shape[0]
+        if t_count <= 2048:
+            tri = jnp.sum(
+                (self.cdf[None, :] <= u2[:, None]).astype(jnp.int32), axis=1
+            )
+        else:
+            tri = jnp.searchsorted(self.cdf, u2, side="right").astype(jnp.int32)
+        tri = jnp.clip(tri, 0, t_count - 1).astype(jnp.int32)
+        b0, b1 = square_to_uniform_triangle(u0, u1)
+        from fermat_tpu.ops.gather import gather_rows
+
+        r = gather_rows(self.rows, tri)
+        vec = lambda cidx: Vec3(r[:, cidx], r[:, cidx + 1], r[:, cidx + 2])
+        p0, e1, e2, n, le = vec(0), vec(3), vec(6), vec(9), vec(12)
+        pos = p0 + e1 * b0 + e2 * b1
+        pdf = r[:, 15]
+        uv_u = r[:, 16] + r[:, 18] * b0 + r[:, 20] * b1
+        uv_v = r[:, 17] + r[:, 19] * b0 + r[:, 21] * b1
+        emap = r[:, 22].astype(jnp.int32)
+        return pos, n, le, pdf, tri, uv_u, uv_v, emap
 
     def pdf_area_of(self, tri: Array) -> Array:
         """Area pdf for MIS when a BSDF ray hits an emitter (tri >= 0).

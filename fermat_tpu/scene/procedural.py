@@ -18,14 +18,19 @@ from fermat_tpu.scene.materials import HostMaterial
 from fermat_tpu.scene.mesh import MeshStorage
 
 
-def _quad(vs: List, tris: List, mats: List, a, b, c, d, mat_id: int):
+def _quad(vs: List, tris: List, mats: List, a, b, c, d, mat_id: int,
+          uvs: Optional[List] = None):
     i = len(vs)
     vs += [a, b, c, d]
     tris += [[i, i + 1, i + 2], [i, i + 2, i + 3]]
     mats += [mat_id, mat_id]
+    if uvs is not None:
+        # each quad spans the full [0,1]^2 uv square (vertex-parallel uvs)
+        uvs += [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]
 
 
-def _box(vs, tris, mats, lo, hi, mat_id, rot_y: float = 0.0, center=None):
+def _box(vs, tris, mats, lo, hi, mat_id, rot_y: float = 0.0, center=None,
+         uvs: Optional[List] = None):
     x0, y0, z0 = lo
     x1, y1, z1 = hi
     corners = np.array(
@@ -46,7 +51,7 @@ def _box(vs, tris, mats, lo, hi, mat_id, rot_y: float = 0.0, center=None):
         (0, 1, 5, 4), (2, 3, 7, 6), (1, 2, 6, 5), (3, 0, 4, 7), (4, 5, 6, 7), (3, 2, 1, 0),
     ]
     for q in idx:
-        _quad(vs, tris, mats, *[corners[j] for j in q], mat_id)
+        _quad(vs, tris, mats, *[corners[j] for j in q], mat_id, uvs=uvs)
 
 
 def cornell_box(
@@ -59,15 +64,16 @@ def cornell_box(
     vs: List = []
     tris: List = []
     mats: List[int] = []
+    uvs: List = []
 
     WHITE, RED, GREEN, LIGHT, BOX = 0, 1, 2, 3, 4
     # floor / ceiling / back wall (white)
-    _quad(vs, tris, mats, [-1, 0, 1], [1, 0, 1], [1, 0, -1], [-1, 0, -1], WHITE)
-    _quad(vs, tris, mats, [-1, 2, 1], [-1, 2, -1], [1, 2, -1], [1, 2, 1], WHITE)
-    _quad(vs, tris, mats, [-1, 0, -1], [1, 0, -1], [1, 2, -1], [-1, 2, -1], WHITE)
+    _quad(vs, tris, mats, [-1, 0, 1], [1, 0, 1], [1, 0, -1], [-1, 0, -1], WHITE, uvs=uvs)
+    _quad(vs, tris, mats, [-1, 2, 1], [-1, 2, -1], [1, 2, -1], [1, 2, 1], WHITE, uvs=uvs)
+    _quad(vs, tris, mats, [-1, 0, -1], [1, 0, -1], [1, 2, -1], [-1, 2, -1], WHITE, uvs=uvs)
     # left (red) / right (green) — CornellBox-JP convention
-    _quad(vs, tris, mats, [-1, 0, 1], [-1, 0, -1], [-1, 2, -1], [-1, 2, 1], RED)
-    _quad(vs, tris, mats, [1, 0, -1], [1, 0, 1], [1, 2, 1], [1, 2, -1], GREEN)
+    _quad(vs, tris, mats, [-1, 0, 1], [-1, 0, -1], [-1, 2, -1], [-1, 2, 1], RED, uvs=uvs)
+    _quad(vs, tris, mats, [1, 0, -1], [1, 0, 1], [1, 2, 1], [1, 2, -1], GREEN, uvs=uvs)
     # ceiling light (slightly below ceiling, facing down); light_size scales
     # the quad about its center (test scenes use larger emitters to condition
     # BSDF-sampling estimators)
@@ -77,10 +83,10 @@ def cornell_box(
     )
     lc = lq.mean(0)
     lq[:, [0, 2]] = lc[[0, 2]] + (lq[:, [0, 2]] - lc[[0, 2]]) * min(light_size, 3.9)
-    _quad(vs, tris, mats, lq[0], lq[1], lq[2], lq[3], LIGHT)
+    _quad(vs, tris, mats, lq[0], lq[1], lq[2], lq[3], LIGHT, uvs=uvs)
     # short box and tall box
-    _box(vs, tris, mats, (0.05, 0.0, 0.0), (0.65, 0.6, 0.55), BOX, rot_y=-0.29)
-    _box(vs, tris, mats, (-0.65, 0.0, -0.65), (-0.05, 1.2, -0.05), BOX, rot_y=0.31)
+    _box(vs, tris, mats, (0.05, 0.0, 0.0), (0.65, 0.6, 0.55), BOX, rot_y=-0.29, uvs=uvs)
+    _box(vs, tris, mats, (-0.65, 0.0, -0.65), (-0.05, 1.2, -0.05), BOX, rot_y=0.31, uvs=uvs)
 
     def mk(name, kd, ke=(0, 0, 0), ks=(0, 0, 0), ns=0.0):
         m = HostMaterial(name)
@@ -108,7 +114,8 @@ def cornell_box(
         vertices=np.asarray(vs, np.float32),
         triangles=t,
         normal_indices=np.full_like(t, -1),
-        uv_indices=np.full_like(t, -1),
+        uvs=np.asarray(uvs, np.float32),
+        uv_indices=t.copy(),  # uvs are vertex-parallel
         material_ids=np.asarray(mats, np.int32),
         materials=materials,
         group_names=["cornell"],

@@ -35,6 +35,7 @@ class SceneView(NamedTuple):
     env: "jax.Array"  # (3,) constant environment radiance (0 = none)
     point_lights: "object"  # PointLightsView (delta lights)
     clusters: "object" = None  # accel.cluster.ClusterView (large-scene TPU path)
+    vpls: "object" = None  # mesh_lights.VPLView (presampled emission-proportional points)
 
     @property
     def has_textures(self) -> bool:
@@ -50,6 +51,7 @@ class SceneView(NamedTuple):
         texture_dir: Optional[str] = None,
         env_radiance=(0.0, 0.0, 0.0),
         point_light_defs=(),
+        n_vpls: int = 256,
     ) -> "SceneView":
         # resolve texture files referenced by materials (renderer.cu:784-882)
         images = []
@@ -91,7 +93,18 @@ class SceneView(NamedTuple):
         from fermat_tpu.accel.cluster import build_clusters
 
         clusters = build_clusters(mesh)
-        lights = MeshLightsView.build(mesh)
+        # texture-integrated emissive CDF weights + VPL presampling
+        # (mesh_lights.cu:158-380); weights default to lum x area when no
+        # emitter has a texture
+        from fermat_tpu.scene.mesh_lights import (
+            build_vpls,
+            textured_tri_energies,
+        )
+
+        energies = textured_tri_energies(mesh, images)
+        lights = MeshLightsView.build(mesh, weights=energies)
+        vpls = build_vpls(mesh, n_vpls=n_vpls, tri_energy=energies,
+                          images=images) if n_vpls > 0 else None
         dl = DirectionalLightsView.build(list(dir_light_defs))
         atlas = TextureAtlas.build(images)
         import jax.numpy as jnp
@@ -102,5 +115,5 @@ class SceneView(NamedTuple):
             mesh=mesh, bvh=bvh, lights=lights, dir_lights=dl, camera=camera,
             textures=atlas, env=jnp.asarray(env_radiance, jnp.float32),
             point_lights=PointLightsView.build(list(point_light_defs)),
-            clusters=clusters,
+            clusters=clusters, vpls=vpls,
         )

@@ -17,8 +17,10 @@ compacted queues (every per-bounce stage is a flat (N,)-lane vector op, the
 traversal while-loops nest inside). There is NO host<->device sync anywhere
 in a pass — the reference pays a 4-byte readback per bounce
 (pathtracer_kernels.h:329); here the whole pass is one XLA computation.
-Compacted-queue variants (scan-based, the warp_append analog) live in
-fermat_tpu.ops.compact and are used by the queue-explicit integrators.
+A queue-explicit variant (scan-based compaction reordering live lanes to a
+dense prefix each bounce, the warp_append analog built on fermat_tpu.ops
+.compact's cumsum scheme) is available via PTOptions.queue_compaction; the
+A/B against masked lanes is recorded in STATUS.md.
 
 Differentiability: traversal outputs (hit ids / barycentrics / visibility)
 are detached; radiance is differentiable w.r.t. material/emitter parameters
@@ -73,6 +75,11 @@ class PTOptions(NamedTuple):
     nee: str = "mesh"  # "mesh" = emissive CDF | "vpl" = presampled VPL set
     rr: bool = True  # russian roulette (pathtracer.h `rr`)
     rr_start_bounce: int = 2
+    # queue-explicit wavefront: compact live lanes to a dense prefix each
+    # bounce (PTRayQueue::warp_append analog, pathtracer_queues.h:69-93).
+    # A/B'd against masked lanes in STATUS.md — on TPU the lockstep vector
+    # units give compaction no occupancy win, so masked is the default.
+    queue_compaction: bool = False
     ray_eps: float = 1.0e-4  # self-intersection offset (scene units)
     tracer: str = "auto"  # "bvh" | "brute" | "auto"
     dims_per_bounce: int = 8
@@ -225,6 +232,8 @@ def render_pass(
         g_spec_albedo: Vec3
         rays: Array  # scalar f32 — total traced rays (closest + shadow)
         cone_width: Array  # ray-cone footprint radius (texture LOD)
+        pix_u: Array  # pixel id per lane (moves with the lane when queued)
+        lane0: Array  # original lane index (to unpermute queued output)
 
     carry = Carry(
         o=o,
@@ -246,6 +255,8 @@ def render_pass(
         g_spec_albedo=zero3,
         rays=jnp.zeros((), jnp.float32),
         cone_width=jnp.zeros(n, jnp.float32),
+        pix_u=pix,
+        lane0=jnp.arange(n, dtype=jnp.int32),
     )
 
     def add_routed(c: Carry, contrib: Vec3, mask: Array, channel: Array) -> Carry:
@@ -409,7 +420,7 @@ def render_pass(
         )
         nee_on = opts.direct_lighting_nee if first else opts.indirect_lighting_nee
         if nee_on:
-            ul0, ul1, ul2 = seq.sample_3d(pix, base_dim)
+            ul0, ul1, ul2 = seq.sample_3d(c.pix_u, base_dim)
             if opts.debug_nee_fixed_light:
                 lpos = Vec3(jnp.zeros(n), jnp.full(n, 1.9), jnp.zeros(n))
                 ln = Vec3(jnp.zeros(n), jnp.full(n, -1.0), jnp.zeros(n))
@@ -585,14 +596,14 @@ def render_pass(
                     c = add_routed(c, contrib, lit, c.channel)
 
         # ---- BSDF scatter + RR (shade_vertex tail) ----
-        ub0, ub1, ub2 = seq.sample_3d(pix, base_dim + jnp.uint32(3))
+        ub0, ub1, ub2 = seq.sample_3d(c.pix_u, base_dim + jnp.uint32(3))
         s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes)
         wo_world = to_world(s.wo, t_b, b_b, sn_f)
         new_thr = Vec3(c.thr.x * s.g.x, c.thr.y * s.g.y, c.thr.z * s.g.z)
         new_alive = valid & s.valid & ((s.g.x + s.g.y + s.g.z) > 0.0)
 
         if opts.rr and not first:
-            u_rr = seq.sample_1d(pix, base_dim + jnp.uint32(6))
+            u_rr = seq.sample_1d(c.pix_u, base_dim + jnp.uint32(6))
             rr_on = jnp.asarray(b, jnp.int32) >= opts.rr_start_bounce
             q = jnp.clip(jnp.maximum(jnp.maximum(new_thr.x, new_thr.y), new_thr.z), 0.05, 1.0)
             q = jax.lax.stop_gradient(jnp.where(rr_on, q, 1.0))
@@ -631,12 +642,40 @@ def render_pass(
             channel=new_channel,
         )
 
+    def compact_carry(c: Carry) -> Carry:
+        """Permute lanes so live ones form a dense prefix (queue-append
+        analog via ops/compact; sort-free cumsum permutation). A pure
+        reorder — accumulators, pixel ids and lane origins travel with
+        their lane, so the estimator is bit-identical."""
+        m = c.alive.astype(jnp.int32)
+        live_pos = jnp.cumsum(m) - m
+        count = jnp.sum(m)
+        dead_pos = count + jnp.cumsum(1 - m) - (1 - m)
+        dest = jnp.where(c.alive, live_pos, dead_pos).astype(jnp.int32)
+
+        def put(a):
+            if not hasattr(a, "ndim") or a.ndim == 0 or a.shape[0] != n:
+                return a  # scalar counters
+            return jnp.zeros_like(a).at[dest].set(a)
+
+        return jax.tree_util.tree_map(put, c)
+
     # bounce 0 peeled (static routing); bounces 1..max in a fori_loop
     carry = bounce(0, carry, True)
     if opts.max_path_length > 1:
-        carry = jax.lax.fori_loop(
-            1, opts.max_path_length, lambda b, c: bounce(b, c, False), carry
-        )
+        if opts.queue_compaction:
+            body = lambda b, c: bounce(b, compact_carry(c), False)
+        else:
+            body = lambda b, c: bounce(b, c, False)
+        carry = jax.lax.fori_loop(1, opts.max_path_length, body, carry)
+    if opts.queue_compaction:
+        # unpermute: lane i holds the path that started at lane carry.lane0[i]
+        def unput(a):
+            if not hasattr(a, "ndim") or a.ndim == 0 or a.shape[0] != n:
+                return a
+            return jnp.zeros_like(a).at[carry.lane0].set(a)
+
+        carry = jax.tree_util.tree_map(unput, carry)
 
     comp = Vec3(
         carry.l_direct.x + carry.l_diffuse.x + carry.l_specular.x,

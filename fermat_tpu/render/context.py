@@ -323,6 +323,10 @@ class RenderingContext:
                 "position": img(out.position),
                 "miss": jnp.reshape(out.tri < 0, (res_y, res_x)),
                 "depth": jnp.reshape(out.depth, (res_y, res_x)),
+                # AOV inspection modes (renderer_view.h kUV/kCharts)
+                "uv": jnp.reshape(out.uv, (res_y, res_x, 2)),
+                "tri": jnp.reshape(out.tri, (res_y, res_x)),
+                "material": jnp.reshape(out.material, (res_y, res_x)),
             }
             return (new_fb, gbuf, state) if stateful else (new_fb, gbuf)
 

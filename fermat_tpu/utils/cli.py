@@ -48,6 +48,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     diff_paths = None
     bench_path = None
     save_intermediate = False
+    view_mode = False
     seed = 0
     opts = {}
     plugins = []
@@ -85,6 +86,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             i += 1; bench_path = argv[i]
         elif a == "-save-intermediate":
             save_intermediate = True
+        elif a == "-view":
+            view_mode = True
         elif a == "-seed":
             i += 1; seed = int(argv[i])
         elif a == "-plugin":
@@ -172,6 +175,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
 
     ref_img = read_image(ref_path) if ref_path else None
+    # -view: interactive progressive viewer (glut_viewer.cu analog);
+    # `passes` bounds the session when stdin is not a terminal
+    if view_mode:
+        from fermat_tpu.render.viewer import Viewer
+
+        v = Viewer(ctx)
+        frames = v.run(
+            passes_per_frame=1,
+            max_frames=None if sys.stdin.isatty() else max(passes, 1),
+        )
+        write_tga(out_path, ctx.image())
+        print(f"viewer: {frames} frames, wrote {out_path}", file=sys.stderr)
+        return 0
+
     t0 = time.time()
     next_dump = 1
     done = 0

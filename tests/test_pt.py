@@ -139,3 +139,29 @@ class TestEstimatorConsistency:
         a, b = pool(img_mis), pool(img_nee)
         rel = np.abs(a - b) / np.maximum(np.maximum(a, b), 0.05)
         assert rel.mean() < 0.08, (rel.mean(), rel.max())
+
+
+class TestQueueCompaction:
+    def test_queued_matches_masked_bitwise(self):
+        """PTOptions.queue_compaction is a pure lane permutation: the
+        estimator (and every AOV) must match the masked-lane default
+        exactly (warp_append analog, pathtracer_queues.h:69-93)."""
+        from fermat_tpu.integrators.pt import PTOptions, render_pass
+        from fermat_tpu.scene.view import SceneView
+
+        view = SceneView.build(cornell_box(), cornell_camera())
+        base = dict(max_path_length=4, rr=True)
+        out_m = render_pass(view, PTOptions(**base), RES, RES, jnp.uint32(3))
+        out_q = render_pass(
+            view, PTOptions(queue_compaction=True, **base),
+            RES, RES, jnp.uint32(3),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_m.composited.x), np.asarray(out_q.composited.x))
+        np.testing.assert_array_equal(
+            np.asarray(out_m.diffuse.y), np.asarray(out_q.diffuse.y))
+        np.testing.assert_array_equal(
+            np.asarray(out_m.depth), np.asarray(out_q.depth))
+        np.testing.assert_array_equal(
+            np.asarray(out_m.tri), np.asarray(out_q.tri))
+        assert float(out_m.rays) == float(out_q.rays)

@@ -40,11 +40,17 @@ from fermat_tpu.core.sampling import INV_PI, square_to_cosine_hemisphere
 
 Array = jax.Array
 
-# component indices (bsdf.h:129-133)
+# component indices (bsdf.h:129-135; clearcoat is the 5th layer)
 DIFFUSE_REFL = 0
 DIFFUSE_TRANS = 1
 GLOSSY_REFL = 2
 GLOSSY_TRANS = 3
+CLEARCOAT_REFL = 4
+
+# finite stand-in for the delta clearcoat's infinite pdf (the reference
+# stores float_infinity, bsdf.h:1118); kept finite so MIS ratio forms stay
+# NaN-free — any NEE-vs-delta power weight evaluates to ~1 as it should
+_DELTA_PDF = 1.0e30
 
 
 class BsdfParams(NamedTuple):
@@ -56,6 +62,7 @@ class BsdfParams(NamedTuple):
     roughness: Array
     ior: Array
     opacity: Array
+    reflectivity: Vec3 = None  # clearcoat normal-incidence reflectivity
 
     @staticmethod
     def from_materials(m) -> "BsdfParams":
@@ -67,6 +74,7 @@ class BsdfParams(NamedTuple):
             roughness=m.roughness,
             ior=m.ior,
             opacity=m.opacity,
+            reflectivity=m.reflectivity,
         )
 
     @property
@@ -96,6 +104,40 @@ def _e_glossy(p: BsdfParams, cos_t: Array) -> Array:
     favg = jnp.where(f0m <= 0.0, 0.0, favg)
     e = jnp.clip(e1 * favg, 0.0, 1.0)
     return jnp.where(p.ior == 0.0, 0.0, e)
+
+
+def clearcoat_fresnel(p: BsdfParams, wi: Vec3) -> Vec3:
+    """Fresnel reflection of the perfectly-specular clearcoat layer
+    (bsdf.h:1202-1232): the coat's IOR derives from the material's
+    normal-incidence `reflectivity` as ior = (1+sqrt(R0))/(1-sqrt(R0)); the
+    exact dielectric Fresnel then interpolates the per-channel reflectivity
+    toward white at grazing angles. reflectivity == 0 -> exactly 0 (no
+    coat)."""
+    r0 = jnp.minimum(_max_comp(p.reflectivity), 0.95)
+    sq = jnp.sqrt(jnp.maximum(r0, 0.0))
+    ior_c = (1.0 + sq) / jnp.maximum(1.0 - sq, 1e-6)
+    ci = jnp.abs(wi.z)
+    # entering a denser medium: no TIR; exact dielectric Fresnel
+    eta = 1.0 / ior_c
+    s2t = eta * eta * jnp.maximum(1.0 - ci * ci, 0.0)
+    ct = jnp.sqrt(jnp.maximum(1.0 - s2t, 0.0))
+    rs = (ci - ior_c * ct) / jnp.maximum(ci + ior_c * ct, 1e-8)
+    rp = (ior_c * ci - ct) / jnp.maximum(ior_c * ci + ct, 1e-8)
+    f_s = 0.5 * (rs * rs + rp * rp)
+    w = jnp.clip((f_s - r0) / jnp.maximum(1.0 - r0, 1e-6), 0.0, 1.0)
+    lerp = lambda a: a + (1.0 - a) * w
+    off = _max_comp(p.reflectivity) <= 0.0
+    return Vec3(
+        jnp.where(off, 0.0, lerp(p.reflectivity.x)),
+        jnp.where(off, 0.0, lerp(p.reflectivity.y)),
+        jnp.where(off, 0.0, lerp(p.reflectivity.z)),
+    )
+
+
+def scene_clearcoat(materials_host) -> bool:
+    """Static: whether any material carries a clearcoat (reflectivity > 0);
+    scenes without one compile the 4-lobe model unchanged."""
+    return any(max(m.reflectivity) > 0 for m in materials_host)
 
 
 def component_weights(
@@ -151,8 +193,13 @@ def pdf(p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES) -> Array:
     return pd
 
 
-def _selection_probs(p: BsdfParams, wi: Vec3, lobes=ALL_LOBES):
-    """Lobe selection probabilities from view-dependent weight luminances."""
+def _selection_probs(p: BsdfParams, wi: Vec3, lobes=ALL_LOBES,
+                     clearcoat: bool = False):
+    """Lobe selection probabilities from view-dependent weight luminances.
+
+    With the clearcoat layer, the coat reflection takes probability
+    mean(Fc) and the inner lobes share the remaining 1 - mean(Fc)
+    (bsdf.h:999-1001 coat_reflection_prob)."""
     nov = jnp.abs(wi.z)
     r_lum = _max_comp(schlick(nov, p.f0))
     r_lum = jnp.where(p.ior == 0.0, 0.0, r_lum)
@@ -171,13 +218,23 @@ def _selection_probs(p: BsdfParams, wi: Vec3, lobes=ALL_LOBES):
     p_dt = jnp.where(dead, 0.0, w_dt * inv)
     p_gr = jnp.where(dead, 0.0, w_gr * inv)
     p_gt = jnp.where(dead, 0.0, w_gt * inv)
-    return p_dr, p_dt, p_gr, p_gt
+    if clearcoat:
+        fc = clearcoat_fresnel(p, wi)
+        p_cc = (fc.x + fc.y + fc.z) / 3.0
+        s = 1.0 - p_cc
+        return p_dr * s, p_dt * s, p_gr * s, p_gt * s, p_cc
+    return p_dr, p_dt, p_gr, p_gt, zero
 
 
 def f_and_pdf(
-    p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES
+    p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES, clearcoat: bool = False
 ) -> Tuple[Vec3, Array]:
-    """Composite f and the mixture pdf of `sample` (bsdf.h:336-413)."""
+    """Composite f and the mixture pdf of `sample` (bsdf.h:336-413).
+
+    With `clearcoat`, inner-layer f is attenuated by the coat transmission
+    Tc(w_i) and the mixture pdf by the inner selection mass (the delta coat
+    reflection contributes no density at a.e. directions; second-interface
+    refraction deliberately ignored, bsdf.h:780-784)."""
     alpha = ggx._alpha(p.roughness)
     r_coeff, w_d, w_dt, w_gt = component_weights(p, wi, wo)
     same = (wi.z * wo.z) > 0.0
@@ -193,7 +250,12 @@ def f_and_pdf(
     fy = p.diffuse.y * f_dr + p.diffuse_trans.y * f_dt + r_coeff.y * g_r + g_t
     fz = p.diffuse.z * f_dr + p.diffuse_trans.z * f_dt + r_coeff.z * g_r + g_t
 
-    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi, lobes)
+    p_dr, p_dt, p_gr, p_gt, _p_cc = _selection_probs(p, wi, lobes, clearcoat)
+    if clearcoat:
+        tc = clearcoat_fresnel(p, wi)
+        fx = fx * (1.0 - tc.x)
+        fy = fy * (1.0 - tc.y)
+        fz = fz * (1.0 - tc.z)
     pdf_dr = jnp.where(same, abs_co * INV_PI, 0.0) if lobes[0] else zero
     pdf_dt = jnp.where(~same, abs_co * INV_PI, 0.0) if lobes[1] else zero
     pdf_gr = ggx.reflect_pdf(alpha, wi, wo) if lobes[2] else zero
@@ -203,7 +265,7 @@ def f_and_pdf(
 
 
 def f_split(
-    p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES
+    p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES, clearcoat: bool = False
 ) -> Tuple[Vec3, Vec3, Array]:
     """(f_diffuse, f_glossy, mixture_pdf) — the per-component split the
     reference's PTVertexProcessor uses to route diffuse vs specular framebuffer
@@ -223,7 +285,11 @@ def f_split(
         p.diffuse.z * f_dr + p.diffuse_trans.z * f_dt,
     )
     fg = Vec3(r_coeff.x * g_r + g_t, r_coeff.y * g_r + g_t, r_coeff.z * g_r + g_t)
-    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi, lobes)
+    p_dr, p_dt, p_gr, p_gt, _p_cc = _selection_probs(p, wi, lobes, clearcoat)
+    if clearcoat:
+        tc = clearcoat_fresnel(p, wi)
+        fd = Vec3(fd.x * (1.0 - tc.x), fd.y * (1.0 - tc.y), fd.z * (1.0 - tc.z))
+        fg = Vec3(fg.x * (1.0 - tc.x), fg.y * (1.0 - tc.y), fg.z * (1.0 - tc.z))
     mix_pdf = (
         p_dr * (jnp.where(same, abs_co * INV_PI, 0.0) if lobes[0] else zero)
         + p_dt * (jnp.where(~same, abs_co * INV_PI, 0.0) if lobes[1] else zero)
@@ -242,20 +308,30 @@ class BsdfSample(NamedTuple):
     valid: Array  # pdf > 0
 
 
-def sample(p: BsdfParams, wi: Vec3, u0, u1, u2, lobes=ALL_LOBES) -> BsdfSample:
-    """One-sample-MIS lobe sampling (Bsdf::sample, bsdf.h:830-1000)."""
-    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi, lobes)
+def sample(p: BsdfParams, wi: Vec3, u0, u1, u2, lobes=ALL_LOBES,
+           clearcoat: bool = False) -> BsdfSample:
+    """One-sample-MIS lobe sampling (Bsdf::sample, bsdf.h:830-1140).
+
+    With `clearcoat`, the coat's perfectly-specular reflection is a 5th,
+    delta component sampled with probability mean(Fc): wo mirrors wi about
+    the shading normal, g = Fc/p (bsdf.h:1108-1118), pdf is the delta
+    stand-in so downstream MIS weights collapse to 1."""
+    p_dr, p_dt, p_gr, p_gt, p_cc = _selection_probs(p, wi, lobes, clearcoat)
     alpha = ggx._alpha(p.roughness)
     side = jnp.where(wi.z >= 0, 1.0, -1.0)
 
     c0 = p_dr
     c1 = c0 + p_dt
     c2 = c1 + p_gr
+    c3 = c2 + p_gt
     comp = (
         jnp.where(u2 < c0, DIFFUSE_REFL,
         jnp.where(u2 < c1, DIFFUSE_TRANS,
-        jnp.where(u2 < c2, GLOSSY_REFL, GLOSSY_TRANS)))
+        jnp.where(u2 < c2, GLOSSY_REFL,
+        jnp.where(u2 < c3, GLOSSY_TRANS, CLEARCOAT_REFL))))
     ).astype(jnp.int32)
+    if not clearcoat:
+        comp = jnp.minimum(comp, GLOSSY_TRANS)
 
     # sample every lobe (cheap, branchless) and select
     d_loc = square_to_cosine_hemisphere(u0, u1)
@@ -279,6 +355,14 @@ def sample(p: BsdfParams, wi: Vec3, u0, u1, u2, lobes=ALL_LOBES) -> BsdfSample:
         jnp.where(is_dr, wo_dr.y, jnp.where(is_dt, wo_dt.y, jnp.where(is_gr, wo_gr.y, wo_gt.y))),
         jnp.where(is_dr, wo_dr.z, jnp.where(is_dt, wo_dt.z, jnp.where(is_gr, wo_gr.z, wo_gt.z))),
     )
+    if clearcoat:
+        # mirror about the shading normal: out = 2 cos_i * N - in
+        is_cc = comp == CLEARCOAT_REFL
+        wo = Vec3(
+            jnp.where(is_cc, -wi.x, wo.x),
+            jnp.where(is_cc, -wi.y, wo.y),
+            jnp.where(is_cc, wi.z, wo.z),
+        )
 
     # DETACHED sampling (differentiable-rendering convention, cf. Mitsuba 3):
     # the sampled direction and pdf are constants of the estimator; parameter
@@ -289,7 +373,7 @@ def sample(p: BsdfParams, wi: Vec3, u0, u1, u2, lobes=ALL_LOBES) -> BsdfSample:
         jax.lax.stop_gradient(wo.y),
         jax.lax.stop_gradient(wo.z),
     )
-    fv, mix_pdf = f_and_pdf(p, wi, wo, lobes)
+    fv, mix_pdf = f_and_pdf(p, wi, wo, lobes, clearcoat)
     # glossy-trans TIR lanes have pdf 0
     mix_pdf = jnp.where(is_gt & (pdf_gt_s <= 0.0), 0.0, mix_pdf)
     mix_pdf = jax.lax.stop_gradient(mix_pdf)
@@ -297,4 +381,23 @@ def sample(p: BsdfParams, wi: Vec3, u0, u1, u2, lobes=ALL_LOBES) -> BsdfSample:
     inv_pdf = jnp.where(valid, 1.0 / jnp.where(valid, mix_pdf, 1.0), 0.0)
     cos_o = jnp.abs(wo.z)
     g = Vec3(fv.x * cos_o * inv_pdf, fv.y * cos_o * inv_pdf, fv.z * cos_o * inv_pdf)
+    if clearcoat:
+        # delta coat reflection: g = Fc / p_comp, f delta, pdf = delta
+        # stand-in (bsdf.h:1110-1118)
+        is_cc = comp == CLEARCOAT_REFL
+        fc = clearcoat_fresnel(p, wi)
+        p_cc_safe = jnp.maximum(p_cc, 1e-12)
+        cc_ok = is_cc & (p_cc > 1e-7)
+        g = Vec3(
+            jnp.where(is_cc, jnp.where(cc_ok, fc.x / p_cc_safe, 0.0), g.x),
+            jnp.where(is_cc, jnp.where(cc_ok, fc.y / p_cc_safe, 0.0), g.y),
+            jnp.where(is_cc, jnp.where(cc_ok, fc.z / p_cc_safe, 0.0), g.z),
+        )
+        fv = Vec3(
+            jnp.where(is_cc, 0.0, fv.x),
+            jnp.where(is_cc, 0.0, fv.y),
+            jnp.where(is_cc, 0.0, fv.z),
+        )
+        mix_pdf = jnp.where(is_cc, _DELTA_PDF, mix_pdf)
+        valid = jnp.where(is_cc, cc_ok, valid)
     return BsdfSample(wo=wo, f=fv, pdf=mix_pdf, g=g, component=comp, valid=valid)

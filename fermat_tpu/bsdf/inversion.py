@@ -151,7 +151,7 @@ def classify_component(p: BsdfParams, wi: Vec3, wo: Vec3, u_comp: Array,
     same = (wi.z * wo.z) > 0.0
     zero = jnp.zeros_like(wo.z)
     abs_co = jnp.abs(wo.z)
-    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi, lobes)
+    p_dr, p_dt, p_gr, p_gt, _p_cc = _selection_probs(p, wi, lobes)
     w_dr = p_dr * (jnp.where(same, abs_co * INV_PI, 0.0) if lobes[0] else zero)
     w_dt = p_dt * (jnp.where(~same, abs_co * INV_PI, 0.0) if lobes[1] else zero)
     w_gr = p_gr * (ggx.reflect_pdf(alpha, wi, wo) if lobes[2] else zero)
@@ -205,7 +205,7 @@ def invert(
     ok = jnp.where(is_dr, ok_dr, jnp.where(is_dt, ok_dt, jnp.where(is_gr, ok_gr, ok_gt)))
 
     # place u2 inside the lobe's selection interval (CDF order dr|dt|gr|gt)
-    p_dr, p_dt, p_gr, p_gt = _selection_probs(p, wi, lobes)
+    p_dr, p_dt, p_gr, p_gt, _p_cc = _selection_probs(p, wi, lobes)
     lo = jnp.where(
         is_dr, 0.0,
         jnp.where(is_dt, p_dr, jnp.where(is_gr, p_dr + p_dt, p_dr + p_dt + p_gr)),

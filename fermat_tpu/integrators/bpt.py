@@ -23,11 +23,11 @@ MIS uses the SmallVCM-style recursive quantities (dVCM, dVC) — an exact
 reformulation of the reference's TempPathWeights recursion — with the
 balance heuristic. All sampling decisions are detached (see pt.py).
 
-Note: the adjoint shading-normal correction factor for light-subpath
-scattering (Veach 5.3; the reference's TransportType plumbing) is not yet
-applied — geometric and shading normals coincide in the bundled test scenes'
-light paths' dominant strategies, and the term lands with the BSDF adjoint
-pass. TODO(adjoint).
+Light-subpath scattering and every light-side connection eval carry the
+adjoint shading-normal correction (Veach eq. 5.19; the reference's
+TransportType plumbing) — see `_adjoint_corr`. Texture modulation applies on
+BOTH subpaths (`_textured_params`), matching PT's textured shading path, so
+BPT == PT on textured scenes.
 """
 from __future__ import annotations
 
@@ -93,6 +93,8 @@ class LightVertices(NamedTuple):
     d_vcm: Array
     d_vc: Array
     mat: Array  # material id
+    uvx: Array  # texture coords at the vertex (for _textured_params)
+    uvy: Array
     valid: Array  # bool
 
     def at_slot(self, j: int):
@@ -106,6 +108,7 @@ class LightVertices(NamedTuple):
             g(self.d_vcm),
             g(self.d_vc),
             g(self.mat),
+            (g(self.uvx), g(self.uvy)),
             g(self.valid),
         )
 
@@ -118,6 +121,43 @@ def _eval_both(params: BsdfParams, wi_loc: Vec3, wo_loc: Vec3, lobes):
     return f, _sg(pdf_fwd), _sg(pdf_rev)
 
 
+def _textured_params(view: SceneView, mat_id: Array, uv) -> BsdfParams:
+    """Material params with diffuse/specular texture modulation at uv —
+    BPT's analog of PT's textured shading path (pt.py:300-317; the
+    reference's BPT shades through the same TextureView lookups its PT
+    does). BPT carries no ray cones, so lookups read mip level 0.
+
+    uv: (N, 2) array or an (u, v) pair of (N,) arrays.
+    """
+    mats = view.mesh.materials.gather(mat_id)
+    params = BsdfParams.from_materials(mats)
+    if view.has_textures:
+        from fermat_tpu.scene.textures import modulate
+
+        if isinstance(uv, tuple):
+            uu, vv = uv
+        else:
+            uu, vv = uv[:, 0], uv[:, 1]
+        rgba_d = view.textures.sample(mats.diffuse_map, uu, vv, None)
+        rgba_s = view.textures.sample(mats.specular_map, uu, vv, None)
+        params = params._replace(
+            diffuse=modulate(params.diffuse, rgba_d),
+            specular=modulate(params.specular, rgba_s),
+        )
+    return params
+
+
+def _adjoint_corr(wi: Vec3, wo: Vec3, sn: Vec3, gn: Vec3) -> Array:
+    """Veach eq. 5.19 importance-transport correction for shading normals:
+    |wi.sn * wo.gn| / |wi.gn * wo.sn|, applied wherever a BSDF scatters
+    LIGHT-subpath energy (the reference's TransportType::Importance path).
+    Clamped to suppress the classic grazing-angle fireflies (Veach 5.3.4
+    discusses the unbounded ratio)."""
+    num = jnp.abs(dot(wi, sn) * dot(wo, gn))
+    den = jnp.maximum(jnp.abs(dot(wi, gn) * dot(wo, sn)), 1e-8)
+    return jnp.minimum(num / den, 8.0)
+
+
 def render_pass(
     view: SceneView,
     opts: BPTOptions,
@@ -126,18 +166,29 @@ def render_pass(
     instance: Array,
     seed: int = 0,
     pix: Array = None,
+    sequence=None,
+    return_splat_list: bool = False,
 ):
     """One BPT pass: light subpaths + eye subpaths + connections + splats.
 
     Returns (per-lane eye-strategy radiance Vec3, (H*W,3) light-tracing splat
-    image, rays counter).
+    image, rays counter). `sequence` overrides the QMC sampler (PSSMLT feeds
+    a MatrixSequence of chain-controlled primary coordinates, the
+    PerturbedPrimaryCoords analog, bpt_samplers.h:90-121). With
+    `return_splat_list`, also returns the raw per-lane light-tracing splats
+    as (pix (N, L-1) i32, rgb (N, L-1, 3)) so MCMC samplers can carry a
+    path's full contribution set through accept/reject.
     """
     if pix is None:
         pix = jnp.arange(res_x * res_y, dtype=jnp.uint32)
     n = pix.shape[0]
     L = opts.max_path_length
     eps = opts.ray_eps
-    seq = TiledSequence.create(seed=seed).set_instance(instance)
+    seq = (
+        sequence
+        if sequence is not None
+        else TiledSequence.create(seed=seed).set_instance(instance)
+    )
     pt_opts = PTOptions(tracer=opts.tracer)
     closest, anyhit = _pick_tracers(view, pt_opts)
     cam_sampler = CameraSampler.create(view.camera, res_x / res_y)
@@ -148,7 +199,16 @@ def render_pass(
     # -------------------------------------------------------------------
     u0, u1 = seq.sample_2d(pix, jnp.uint32(100))
     u2 = seq.sample_1d(pix, jnp.uint32(102))
-    lpos, ln, lle, lpdf_a, ltri = view.lights.sample(view.mesh, u0, u1, u2)
+    if view.has_textures:
+        # textured emitters: radiance modulated by the emissive map at the
+        # sampled point (matches PT's NEE, pt.py:424-432)
+        from fermat_tpu.scene.textures import modulate as _mod_le
+
+        (lpos, ln, lle, lpdf_a, ltri, lu, lvv, lemap) = view.lights.sample_ex(
+            view.mesh, u0, u1, u2)
+        lle = _mod_le(lle, view.textures.sample(lemap, lu, lvv, None))
+    else:
+        lpos, ln, lle, lpdf_a, ltri = view.lights.sample(view.mesh, u0, u1, u2)
     has_light = view.lights.has_lights & (lpdf_a > 0.0)
 
     # emission direction: cosine-hemisphere about the light normal
@@ -180,6 +240,7 @@ def render_pass(
         thr_x=empty, thr_y=empty, thr_z=empty,
         d_vcm=empty, d_vc=empty,
         mat=jnp.zeros((n, L), jnp.int32),
+        uvx=empty, uvy=empty,
         valid=jnp.zeros((n, L), bool),
     )
 
@@ -218,13 +279,16 @@ def render_pass(
             thr_x=jnp.where(valid, thr.x, 0.0), thr_y=jnp.where(valid, thr.y, 0.0),
             thr_z=jnp.where(valid, thr.z, 0.0),
             d_vcm=jnp.where(valid, dv_vcm, 0.0), d_vc=jnp.where(valid, dv_vc, 0.0),
-            mat=jnp.where(valid, mat_id, 0), valid=valid,
+            mat=jnp.where(valid, mat_id, 0),
+            uvx=jnp.where(valid, uv[:, 0], 0.0),
+            uvy=jnp.where(valid, uv[:, 1], 0.0),
+            valid=valid,
         )
 
         # scatter continuation
         t_b, b_b = orthonormal_basis(sn_f)
         wi_loc = to_local(wi, t_b, b_b, sn_f)
-        params = BsdfParams.from_materials(view.mesh.materials.gather(mat_id))
+        params = _textured_params(view, mat_id, uv)
         ub0, ub1, ub2 = seq.sample_3d(pix, jnp.uint32(110 + j * opts.dims_per_bounce))
         s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes)
         # reverse pdf of the chosen direction (for the recursion)
@@ -237,7 +301,9 @@ def render_pass(
         d_vc = new_d_vc
         d_vcm = new_d_vcm
         wo_world = to_world(s.wo, t_b, b_b, sn_f)
-        thr = Vec3(thr.x * s.g.x, thr.y * s.g.y, thr.z * s.g.z)
+        # adjoint shading-normal correction for importance transport
+        adj = _adjoint_corr(wi, wo_world, sn_f, gn_f)
+        thr = Vec3(thr.x * s.g.x * adj, thr.y * s.g.y * adj, thr.z * s.g.z * adj)
         alive = valid & s.valid
         thr = Vec3(
             jnp.where(alive, thr.x, 0.0),
@@ -252,10 +318,13 @@ def render_pass(
     # (bpt_control.h:575-598, bpt_kernels.h:1084; atomic splat sink)
     # -------------------------------------------------------------------
     splat = jnp.zeros((res_x * res_y, 3), jnp.float32)
+    splat_pix_list = []
+    splat_rgb_list = []
     if opts.light_tracing:
         eye = view.camera.eye
         for j in range(L - 1):
-            vp, vn, vgn, vwi, vthr, v_vcm, v_vc, vmat, vvalid = lv.at_slot(j)
+            (vp, vn, vgn, vwi, vthr, v_vcm, v_vc, vmat, vuv,
+             vvalid) = lv.at_slot(j)
             to_cam = Vec3(eye.x - vp.x, eye.y - vp.y, eye.z - vp.z)
             dist2 = jnp.maximum(dot(to_cam, to_cam), 1e-12)
             dist = jnp.sqrt(dist2)
@@ -269,8 +338,11 @@ def render_pass(
             t_b, b_b = orthonormal_basis(vn)
             wi_loc = to_local(vwi, t_b, b_b, vn)
             wo_loc = to_local(wo, t_b, b_b, vn)
-            params = BsdfParams.from_materials(view.mesh.materials.gather(vmat))
+            params = _textured_params(view, vmat, vuv)
             f, pdf_fwd, pdf_rev = _eval_both(params, wi_loc, wo_loc, opts.lobes)
+            # importance transport through this vertex -> adjoint correction
+            adj = _adjoint_corr(vwi, wo, vn, vgn)
+            f = Vec3(f.x * adj, f.y * adj, f.z * adj)
             cos_cam = jnp.abs(wo_loc.z)
             # Unit scheme: the camera direction pdf is normalized over the
             # whole screen; with N_light_paths == N_pixels the pixel-count
@@ -293,9 +365,10 @@ def render_pass(
             cx = vthr.x * f.x * amp
             cy = vthr.y * f.y * amp
             cz = vthr.z * f.z * amp
-            splat = splat.at[pixel].add(
-                jnp.stack([cx, cy, cz], axis=-1), mode="drop"
-            )
+            rgb = jnp.stack([cx, cy, cz], axis=-1)
+            splat = splat.at[pixel].add(rgb, mode="drop")
+            splat_pix_list.append(jnp.where(lit, pixel, -1))
+            splat_rgb_list.append(rgb)
 
     # -------------------------------------------------------------------
     # Phase 3: eye subpaths + s=0 / s=1 / connections
@@ -329,10 +402,16 @@ def render_pass(
 
         t_b, b_b = orthonormal_basis(sn_f)
         wi_loc = to_local(wi, t_b, b_b, sn_f)
-        params = BsdfParams.from_materials(view.mesh.materials.gather(mat_id))
+        params = _textured_params(view, mat_id, uv)
 
         # ---- s=0: emissive hit (SmallVCM GetLightRadiance) ----
         le = _emissive_of(view.mesh, mat_id)
+        if view.has_textures:
+            from fermat_tpu.scene.textures import modulate as _mod
+
+            emap = view.mesh.materials.gather(mat_id).emissive_map
+            rgba_e = view.textures.sample(emap, uv[:, 0], uv[:, 1], None)
+            le = _mod(le, rgba_e)
         is_emitter = (le.x + le.y + le.z) > 0.0
         front = dot(gn, wi) > 0.0
         pdf_direct_a = _sg(view.lights.pdf_area_of(tri_c))
@@ -353,7 +432,15 @@ def render_pass(
         # ---- s=1: NEE (SmallVCM DirectIllumination) ----
         un0, un1 = seq.sample_2d(pix, jnp.uint32(200 + t_idx * opts.dims_per_bounce))
         un2 = seq.sample_1d(pix, jnp.uint32(202 + t_idx * opts.dims_per_bounce))
-        spos, snl, sle, spdf_a, _stri = view.lights.sample(view.mesh, un0, un1, un2)
+        if view.has_textures:
+            from fermat_tpu.scene.textures import modulate as _mod_ne
+
+            (spos, snl, sle, spdf_a, _stri, su, sv, semap) = (
+                view.lights.sample_ex(view.mesh, un0, un1, un2))
+            sle = _mod_ne(sle, view.textures.sample(semap, su, sv, None))
+        else:
+            spos, snl, sle, spdf_a, _stri = view.lights.sample(
+                view.mesh, un0, un1, un2)
         to_l = spos - pos
         ldist2 = jnp.maximum(dot(to_l, to_l), 1e-12)
         ldist = jnp.sqrt(ldist2)
@@ -393,7 +480,8 @@ def render_pass(
 
         # ---- s>=2: vertex connections (SmallVCM ConnectVertices) ----
         for j in range(L - 1):
-            vp, vn, vgn, vwi, vthr, v_vcm, v_vc, vmat, vvalid = lv.at_slot(j)
+            (vp, vn, vgn, vwi, vthr, v_vcm, v_vc, vmat, vuv,
+             vvalid) = lv.at_slot(j)
             conn = vp - pos
             cdist2 = jnp.maximum(dot(conn, conn), 1e-12)
             cdist = jnp.sqrt(cdist2)
@@ -406,8 +494,11 @@ def render_pass(
             lt_b, lb_b = orthonormal_basis(vn)
             lwi_loc = to_local(vwi, lt_b, lb_b, vn)
             lwo_loc = to_local(-cdir, lt_b, lb_b, vn)
-            lparams = BsdfParams.from_materials(view.mesh.materials.gather(vmat))
+            lparams = _textured_params(view, vmat, vuv)
             fl, pdf_l_fwd, pdf_l_rev = _eval_both(lparams, lwi_loc, lwo_loc, opts.lobes)
+            # light-side scatter = importance transport -> adjoint correction
+            ladj = _adjoint_corr(vwi, -cdir, vn, vgn)
+            fl = Vec3(fl.x * ladj, fl.y * ladj, fl.z * ladj)
             cos_lv = jnp.abs(lwo_loc.z)
             g = cos_e * cos_lv / cdist2
             # area pdfs of generating the other vertex
@@ -453,6 +544,14 @@ def render_pass(
         o = _offset_origin(pos, gn, wo_world, eps)
         d = wo_world
 
+    if return_splat_list:
+        if splat_pix_list:
+            sp = jnp.stack(splat_pix_list, axis=1)
+            sr = jnp.stack(splat_rgb_list, axis=1)
+        else:
+            sp = jnp.full((n, 0), -1, jnp.int32)
+            sr = jnp.zeros((n, 0, 3), jnp.float32)
+        return radiance, splat, n_rays, sp, sr
     return radiance, splat, n_rays
 
 

@@ -10,11 +10,15 @@ Reference: src/renderers/pssmlt.{h,cu} —
     states splatted at their expected-value weights (pssmlt.cu:153-322,
     `accept_reject_accumulate` with atomic splats).
 
-TPU shape: chains are lanes. The path evaluator is the SAME jitted PT
-machinery (render_pass with a MatrixSequence of per-chain primary samples) —
-the reference re-traces chains through BPTLib with perturbed coordinates;
-here the unidirectional PT path space is used (all PSSMLT theory is
-evaluator-agnostic). Splats are scatter-adds (atomic-splat analog).
+TPU shape: chains are lanes. The path evaluator is the SAME jitted
+integrator machinery driven by a MatrixSequence of per-chain primary
+samples. `path_space="bpt"` (the default, matching the reference — chains
+re-trace through BPTLib, pssmlt.cu:326-345) evaluates full bidirectional
+path sets: a chain's contribution is its eye-strategy radiance PLUS all of
+its light-tracing splats, carried as a (K,)-slot pixel/contrib set through
+accept/reject (the reference's per-chain connections sink).
+`path_space="pt"` keeps the cheaper unidirectional evaluator. Splats are
+scatter-adds (atomic-splat analog).
 
 State lives in a PssmltState pytree threaded through passes.
 """
@@ -67,29 +71,47 @@ class PssmltOptions(NamedTuple):
     small_step_size: float = 1.0 / 64.0  # exp-step scale (Kelemen s2)
     n_seed_candidates: int = 4  # seeding oversampling factor
     tracer: str = "auto"
+    path_space: str = "bpt"  # "bpt" (reference parity) | "pt" (cheaper)
 
 
 class PssmltState(NamedTuple):
     u: Array  # (N, D) current primary vectors
-    i_lum: Array  # (N,) current path luminance
-    contrib: Array  # (N, 3) current path contribution
-    pixel: Array  # (N,) current pixel id
+    i_lum: Array  # (N,) current path-set total luminance
+    contrib: Array  # (N, K, 3) current contribution set
+    pixel: Array  # (N, K) pixel ids (-1 = empty slot)
     brightness: Array  # scalar normalization b
     key: Array  # u32 counter for mutation randomness
 
 
 def _luminance(c: Array) -> Array:
-    return 0.2126 * c[:, 0] + 0.7152 * c[:, 1] + 0.0722 * c[:, 2]
+    """(…, 3) -> (…,) luminance."""
+    return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
+
+
+# BPT's fixed QMC dim layout tops out at 300 + (L-2)*dpb + 3 (eye
+# continuation dims, bpt.py); PSSMLT must mutate the whole range.
+_BPT_DIM_BASE = 304
 
 
 def _dims(opts: PssmltOptions) -> int:
-    return 2 + opts.max_path_length * pt_mod.PTOptions().dims_per_bounce
+    dpb = pt_mod.PTOptions().dims_per_bounce
+    if opts.path_space == "bpt":
+        return _BPT_DIM_BASE + opts.max_path_length * dpb
+    return 2 + opts.max_path_length * dpb
+
+
+def _n_slots(opts: PssmltOptions) -> int:
+    """Contribution slots per chain: 1 eye set + (L-1) light-tracing splats."""
+    return opts.max_path_length if opts.path_space == "bpt" else 1
 
 
 def _eval_paths(
     view: SceneView, opts: PssmltOptions, res_x: int, res_y: int, u: Array
 ) -> Tuple[Array, Array]:
-    """Trace the paths described by primary vectors u -> (contrib (N,3), pixel)."""
+    """Trace the path set described by primary vectors u.
+
+    Returns (contrib (N, K, 3), pixel (N, K) int32, -1 = empty slot).
+    """
     n = u.shape[0]
     # dims 0,1 choose the image point: pixel + intra-pixel jitter
     px = jnp.clip((u[:, 0] * res_x).astype(jnp.int32), 0, res_x - 1)
@@ -98,6 +120,23 @@ def _eval_paths(
     jx = u[:, 0] * res_x - px
     jy = u[:, 1] * res_y - py
     u_mod = u.at[:, 0].set(jx).at[:, 1].set(jy)
+    if opts.path_space == "bpt":
+        from fermat_tpu.integrators import bpt as bpt_mod
+
+        bpt_opts = bpt_mod.BPTOptions(
+            max_path_length=opts.max_path_length, tracer=opts.tracer
+        )
+        rad, _img, _rays, sp, sr = bpt_mod.render_pass(
+            view, bpt_opts, res_x, res_y, jnp.uint32(0),
+            pix=pixel, sequence=MatrixSequence(u_mod),
+            return_splat_list=True,
+        )
+        eye = jnp.stack([rad.x, rad.y, rad.z], axis=-1)  # (N, 3)
+        contrib = jnp.concatenate([eye[:, None, :], sr], axis=1)
+        pixels = jnp.concatenate(
+            [pixel.astype(jnp.int32)[:, None], sp], axis=1
+        )
+        return contrib, pixels
     pt_opts = pt_mod.PTOptions(
         max_path_length=opts.max_path_length, rr=False, tracer=opts.tracer
     )
@@ -108,7 +147,7 @@ def _eval_paths(
     contrib = jnp.stack(
         [out.composited.x, out.composited.y, out.composited.z], axis=-1
     )
-    return contrib, pixel
+    return contrib[:, None, :], pixel.astype(jnp.int32)[:, None]
 
 
 def init_state(
@@ -117,11 +156,12 @@ def init_state(
     """Seed pass (pssmlt.cu:326-345): luminance-proportional chain seeds +
     image brightness estimate."""
     d = _dims(opts)
+    k = _n_slots(opts)
     key0 = _U32(seed * 2654435761 + 12345)
     best_u = None
     best_lum = jnp.full(n, -1.0)
-    best_contrib = jnp.zeros((n, 3))
-    best_pixel = jnp.zeros(n, jnp.uint32)
+    best_contrib = jnp.zeros((n, k, 3))
+    best_pixel = jnp.full((n, k), -1, jnp.int32)
     total = jnp.zeros(())
     # luminance-weighted reservoir resampling over candidate rounds — the
     # streaming equivalent of the reference's CDF inversion
@@ -130,7 +170,7 @@ def init_state(
         bits = hash_combine(hash_combine(key0, _U32(c + 1)), ctr)
         u = uniform_from_bits(bits)
         contrib, pixel = _eval_paths(view, opts, res_x, res_y, u)
-        lum = _luminance(contrib)
+        lum = jnp.sum(_luminance(contrib), axis=1)  # total over the path set
         total = total + jnp.mean(lum)
         # weighted reservoir: keep candidate with prob lum/(acc+lum)
         acc = jnp.maximum(best_lum, 0.0) + lum
@@ -138,8 +178,8 @@ def init_state(
         take = (best_lum < 0.0) | (r * acc < lum)
         best_u = u if best_u is None else jnp.where(take[:, None], u, best_u)
         best_lum = jnp.where(take, lum, jnp.maximum(best_lum, 0.0))
-        best_contrib = jnp.where(take[:, None], contrib, best_contrib)
-        best_pixel = jnp.where(take, pixel, best_pixel)
+        best_contrib = jnp.where(take[:, None, None], contrib, best_contrib)
+        best_pixel = jnp.where(take[:, None], pixel, best_pixel)
     brightness = total / opts.n_seed_candidates
     return PssmltState(
         u=best_u,
@@ -161,9 +201,13 @@ def _mutate(u: Array, key: Array, opts: PssmltOptions) -> Array:
     r2 = uniform_from_bits(b2)
     large = uniform_from_bits(hash_combine(key ^ _U32(0x85EBCA6B), jnp.arange(n, dtype=_U32)))
     is_large = (large < opts.large_step_prob)[:, None]
-    # small step: Kelemen exponential perturbation (pssmlt primary mutation)
+    # small step: Kelemen exponential perturbation (pssmlt primary mutation).
+    # The 1/64 constant is tuned for PT's ~50 primary dims; every dim moves
+    # each step, so the expected path-space displacement grows ~ sqrt(D) —
+    # rescale so BPT's ~350-dim vectors keep the same ||delta u|| (measured:
+    # without this, acceptance drops and 32^2 chains mix ~2x slower).
     s1 = 1.0 / 1024.0
-    s2 = opts.small_step_size
+    s2 = opts.small_step_size * min(1.0, (50.0 / d) ** 0.5)
     mag = s2 * jnp.exp(-jnp.log(s2 / s1) * r1)
     delta = jnp.where(r2 < 0.5, mag, -mag)
     u_small = jnp.mod(u + delta, 1.0)
@@ -187,7 +231,7 @@ def step(
     key = hash_combine(state.key, _U32(0x1234567))
     u_prop = _mutate(state.u, key, opts)
     contrib_p, pixel_p = _eval_paths(view, opts, res_x, res_y, u_prop)
-    lum_p = _luminance(contrib_p)
+    lum_p = jnp.sum(_luminance(contrib_p), axis=1)
     lum_c = jnp.maximum(state.i_lum, 0.0)
     a = jnp.clip(lum_p / jnp.maximum(lum_c, 1e-12), 0.0, 1.0)
     a = jnp.where(lum_c <= 0.0, 1.0, a)
@@ -200,8 +244,12 @@ def step(
     w_new = jnp.where(lum_p > 0.0, w_new, 0.0)
 
     splat = jnp.zeros((res_x * res_y, 3), jnp.float32)
-    splat = splat.at[state.pixel].add(state.contrib * w_old[:, None], mode="drop")
-    splat = splat.at[pixel_p].add(contrib_p * w_new[:, None], mode="drop")
+    # every slot of the path set splats with its chain's weight; -1 slots
+    # are dropped by the out-of-bounds scatter mode (their rgb is 0 anyway)
+    splat = splat.at[state.pixel.reshape(-1)].add(
+        (state.contrib * w_old[:, None, None]).reshape(-1, 3), mode="drop")
+    splat = splat.at[pixel_p.reshape(-1)].add(
+        (contrib_p * w_new[:, None, None]).reshape(-1, 3), mode="drop")
     # per-pass image scale: chains-per-pixel normalization
     splat = splat * (res_x * res_y / jnp.float32(n))
 
@@ -210,8 +258,8 @@ def step(
     new_state = PssmltState(
         u=jnp.where(accept[:, None], u_prop, state.u),
         i_lum=jnp.where(accept, lum_p, state.i_lum),
-        contrib=jnp.where(accept[:, None], contrib_p, state.contrib),
-        pixel=jnp.where(accept, pixel_p, state.pixel),
+        contrib=jnp.where(accept[:, None, None], contrib_p, state.contrib),
+        pixel=jnp.where(accept[:, None], pixel_p, state.pixel),
         brightness=state.brightness,
         key=hash_combine(key, _U32(0xDEADBEEF)),
     )

@@ -86,6 +86,9 @@ class PTOptions(NamedTuple):
     # static lobe mask (dr, dt, gr, gt) — auto-set from the scene's materials
     # by RenderingContext (composite.scene_lobes); disabled lobes compile out
     lobes: tuple = (True, True, True, True)
+    # clearcoat 5th layer (bsdf.h kClearcoatReflection) — auto-set from the
+    # scene's materials (composite.scene_clearcoat); off compiles it out
+    clearcoat: bool = False
     # debug: detach whole contribution classes in the backward pass
     detach_nee: bool = False
     detach_emissive: bool = False
@@ -95,6 +98,41 @@ class PTOptions(NamedTuple):
     debug_nee_cheap_eval: bool = False  # diffuse-only f instead of f_split
 
 
+def _trace_mode(n_triangles: int, opts: PTOptions, has_clusters: bool) -> str:
+    mode = opts.tracer
+    if mode == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if n_triangles <= 4096:
+            mode = "pallas" if on_tpu else "brute"
+        elif on_tpu and has_clusters:
+            mode = "cluster"
+        else:
+            mode = "bvh"
+    return mode
+
+
+def _make_anyhit(mesh, bvh, clusters, mode: str):
+    if mode == "cluster":
+        from fermat_tpu.ops.pallas_cluster_trace import trace_any_cluster
+
+        return lambda o, d, tmin, tmax, active: trace_any_cluster(
+            clusters, o, d, tmin, tmax, active
+        )
+    if mode == "pallas":
+        from fermat_tpu.ops.pallas_trace import trace_any_pallas
+
+        return lambda o, d, tmin, tmax, active: trace_any_pallas(
+            mesh, o, d, tmin, tmax, active
+        )
+    if mode == "brute":
+        return lambda o, d, tmin, tmax, active: trace_any_brute(
+            mesh, o, d, tmin, tmax, active
+        )
+    return lambda o, d, tmin, tmax, active: trace_any(
+        bvh, mesh, o, d, tmin, tmax, active
+    )
+
+
 def _pick_tracers(view: SceneView, opts: PTOptions):
     """Select the trace implementation (static, at trace time).
 
@@ -102,52 +140,49 @@ def _pick_tracers(view: SceneView, opts: PTOptions):
     kernel on TPU, the XLA blocked fallback on CPU (Pallas interpret mode is
     too slow for tests); large scenes use the skip-link BVH.
     """
-    t = view.mesh.n_triangles
-    mode = opts.tracer
-    if mode == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        if t <= 4096:
-            mode = "pallas" if on_tpu else "brute"
-        elif on_tpu and view.clusters is not None:
-            mode = "cluster"
-        else:
-            mode = "bvh"
+    mode = _trace_mode(view.mesh.n_triangles, opts, view.clusters is not None)
     if mode == "cluster":
-        from fermat_tpu.ops.pallas_cluster_trace import (
-            trace_any_cluster,
-            trace_closest_cluster,
-        )
+        from fermat_tpu.ops.pallas_cluster_trace import trace_closest_cluster
 
         closest = lambda o, d, tmin, tmax, active: trace_closest_cluster(
             view.clusters, o, d, tmin, tmax, active
         )
-        anyhit = lambda o, d, tmin, tmax, active: trace_any_cluster(
-            view.clusters, o, d, tmin, tmax, active
-        )
     elif mode == "pallas":
-        from fermat_tpu.ops.pallas_trace import trace_any_pallas, trace_closest_pallas
+        from fermat_tpu.ops.pallas_trace import trace_closest_pallas
 
         closest = lambda o, d, tmin, tmax, active: trace_closest_pallas(
-            view.mesh, o, d, tmin, tmax, active
-        )
-        anyhit = lambda o, d, tmin, tmax, active: trace_any_pallas(
             view.mesh, o, d, tmin, tmax, active
         )
     elif mode == "brute":
         closest = lambda o, d, tmin, tmax, active: trace_closest_brute(
             view.mesh, o, d, tmin, tmax, active
         )
-        anyhit = lambda o, d, tmin, tmax, active: trace_any_brute(
-            view.mesh, o, d, tmin, tmax, active
-        )
     else:
         closest = lambda o, d, tmin, tmax, active: trace_closest(
             view.bvh, view.mesh, o, d, tmin, tmax, active
         )
-        anyhit = lambda o, d, tmin, tmax, active: trace_any(
-            view.bvh, view.mesh, o, d, tmin, tmax, active
-        )
+    anyhit = _make_anyhit(view.mesh, view.bvh, view.clusters, mode)
     return closest, anyhit
+
+
+def _pick_shadow_anyhits(view: SceneView, opts: PTOptions, anyhit):
+    """(direct, indirect) NEE shadow tracers honoring the material
+    FLAG_SHADOW_*_IGNORE bits (optix_base_shadow_shaders.h any-hit masks;
+    direct NEE rays carry mask 0x1, indirect 0x2 — pathtracer_core.h:981,
+    :1099). Falls back to the plain occlusion tracer when no material is
+    flagged. Static per strategy: bounce 0 is peeled (direct), the loop
+    bounces are indirect."""
+    if view.shadow_sets is None:
+        return anyhit, anyhit
+    out = []
+    for ss in view.shadow_sets:
+        if ss is None:
+            out.append(anyhit)
+        else:
+            mode = _trace_mode(ss.mesh.n_triangles, opts,
+                               ss.clusters is not None)
+            out.append(_make_anyhit(ss.mesh, ss.bvh, ss.clusters, mode))
+    return out[0], out[1]
 
 
 class _PassOutput(NamedTuple):
@@ -202,6 +237,7 @@ def render_pass(
         else TiledSequence.create(seed=seed).set_instance(instance)
     )
     closest, anyhit = _pick_tracers(view, opts)
+    anyhit_direct, anyhit_indirect = _pick_shadow_anyhits(view, opts, anyhit)
 
     jx, jy = seq.sample_2d(pix, jnp.uint32(0))
     o, d, _ = generate_camera_rays(view.camera, res_x, res_y, jx, jy, pix)
@@ -278,6 +314,9 @@ def render_pass(
         # `first` is static (bounce 0 is peeled); `b` is traced inside the
         # fori_loop over bounces 1..max — keeps the compiled graph at ~2
         # bounce bodies instead of max_path_length.
+        # NEE shadow rays pick the per-strategy masked-geometry tracer
+        # (direct at the peeled bounce, indirect in the loop)
+        sh_anyhit = anyhit_direct if first else anyhit_indirect
         hit = closest(c.o, c.d, jnp.float32(eps), jnp.float32(3.0e38), c.alive)
         c = c._replace(rays=c.rays + jnp.sum(c.alive.astype(jnp.float32)))
         valid = c.alive & hit.hit_mask
@@ -456,7 +495,7 @@ def render_pass(
                 fg = Vec3.zeros((n,))
                 bsdf_pdf = jnp.abs(wo_loc.z) * _IP
             else:
-                fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc, opts.lobes)
+                fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc, opts.lobes, opts.clearcoat)
             pdf_sa = jax.lax.stop_gradient(
                 lpdf_a * dist2 / jnp.maximum(jnp.abs(cos_l), 1e-8)
             )
@@ -478,7 +517,7 @@ def render_pass(
             if opts.debug_nee_no_shadow:
                 occluded = jnp.zeros(n, bool)
             else:
-                occluded = anyhit(so, wo, jnp.float32(0.0), dist * (1.0 - 1e-3), able)
+                occluded = sh_anyhit(so, wo, jnp.float32(0.0), dist * (1.0 - 1e-3), able)
             c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
             lit = able & ~occluded
             scale = cos_s * w_mis / jnp.maximum(pdf_sa, 1e-12)
@@ -517,11 +556,11 @@ def render_pass(
                 dist = jnp.sqrt(dist2)
                 wo = to_l * (1.0 / dist)
                 wo_loc = to_local(wo, t_b, b_b, sn_f)
-                fd, fg, _ = f_split(params, wi_loc, wo_loc, opts.lobes)
+                fd, fg, _ = f_split(params, wi_loc, wo_loc, opts.lobes, opts.clearcoat)
                 cos_s = jnp.abs(wo_loc.z)
                 able = valid & ((fd.x + fg.x + fd.y + fg.y + fd.z + fg.z) > 0.0)
                 so = _offset_origin(pos, gn, wo, eps)
-                occluded = anyhit(so, wo, jnp.float32(0.0), dist * (1.0 - 1e-3), able)
+                occluded = sh_anyhit(so, wo, jnp.float32(0.0), dist * (1.0 - 1e-3), able)
                 c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
                 lit = able & ~occluded
                 inv_d2 = 1.0 / dist2
@@ -566,11 +605,11 @@ def render_pass(
                     -jnp.broadcast_to(ld.z, (n,)),
                 )
                 wo_loc = to_local(wo, t_b, b_b, sn_f)
-                fd, fg, _ = f_split(params, wi_loc, wo_loc, opts.lobes)
+                fd, fg, _ = f_split(params, wi_loc, wo_loc, opts.lobes, opts.clearcoat)
                 cos_s = jnp.abs(wo_loc.z)
                 able = valid & ((fd.x + fg.x + fd.y + fg.y + fd.z + fg.z) > 0.0)
                 so = _offset_origin(pos, gn, wo, eps)
-                occluded = anyhit(so, wo, jnp.float32(0.0), jnp.float32(3.0e38), able)
+                occluded = sh_anyhit(so, wo, jnp.float32(0.0), jnp.float32(3.0e38), able)
                 c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
                 lit = able & ~occluded
                 wX = c.thr.x * lc[0] * cos_s
@@ -597,7 +636,7 @@ def render_pass(
 
         # ---- BSDF scatter + RR (shade_vertex tail) ----
         ub0, ub1, ub2 = seq.sample_3d(c.pix_u, base_dim + jnp.uint32(3))
-        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes)
+        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes, opts.clearcoat)
         wo_world = to_world(s.wo, t_b, b_b, sn_f)
         new_thr = Vec3(c.thr.x * s.g.x, c.thr.y * s.g.y, c.thr.z * s.g.z)
         new_alive = valid & s.valid & ((s.g.x + s.g.y + s.g.z) > 0.0)

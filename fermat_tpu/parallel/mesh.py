@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from fermat_tpu.core.math import Vec3
 from fermat_tpu.integrators import pt as pt_mod
 from fermat_tpu.scene.view import SceneView
 
@@ -93,6 +94,50 @@ def render_pass_sharded(
         check_vma=False,
     )
     return fn(view, pix)
+
+
+def render_bpt_pass_sharded(
+    view: SceneView,
+    opts,  # bpt.BPTOptions
+    res_x: int,
+    res_y: int,
+    instance: Array,
+    mesh: Mesh,
+    seed: int = 0,
+):
+    """One BPT pass sharded over the mesh: pixel lanes (eye subpaths AND
+    their paired light subpaths) shard over AXIS; each shard scatters its
+    light-tracing splats into a full-res image that the partitioner
+    all-reduces — the multi-chip analog of the reference's atomic splat
+    sink (bpt_impl.h:143-155; atomics become a scatter-add + one
+    all-reduce over ICI).
+
+    Implementation: GSPMD (jit over a sharded pixel domain with a
+    replicated scene) rather than shard_map — the explicit
+    shard_map+psum formulation of this graph lowers pathologically on
+    XLA:CPU (multi-minute compiles even at 8x8; the GSPMD partitioning of
+    the identical computation compiles in seconds and is bit-equal to the
+    single-device pass).
+
+    Returns (radiance Vec3 (N,) sharded over AXIS, splat (H*W, 3), rays).
+    """
+    from jax.sharding import NamedSharding
+
+    from fermat_tpu.integrators import bpt as bpt_mod
+
+    n = res_x * res_y
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, f"{n} pixels not divisible by {n_dev} devices"
+    pix_sh = NamedSharding(mesh, P(AXIS))
+    repl = NamedSharding(mesh, P())
+    pix = jax.device_put(jnp.arange(n, dtype=jnp.uint32), pix_sh)
+    view_r = jax.device_put(view, repl)
+
+    @partial(jax.jit, static_argnames=())
+    def f(v: SceneView, p: Array, inst: Array):
+        return bpt_mod.render_pass(v, opts, res_x, res_y, inst, seed, pix=p)
+
+    return f(view_r, pix, jnp.asarray(instance, jnp.uint32))
 
 
 def render_image_sharded(

@@ -282,6 +282,12 @@ class RenderingContext:
 
             renderer_options = dict(renderer_options)
             renderer_options["lobes"] = scene_lobes(storage.materials)
+        # clearcoat auto-detect (5th layer; PT integrator support)
+        if "clearcoat" not in renderer_options and renderer == "pt":
+            from fermat_tpu.bsdf.composite import scene_clearcoat
+
+            renderer_options = dict(renderer_options)
+            renderer_options["clearcoat"] = scene_clearcoat(storage.materials)
         ctx = RenderingContext(
             view=view,
             res_x=res_x,

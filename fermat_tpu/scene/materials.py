@@ -22,8 +22,15 @@ from fermat_tpu.core.math import Vec3
 
 Array = jax.Array
 
-# material flags (src/mesh/MeshView.h flags + renderer.cu:734-744 flag setup)
-FLAG_EMISSIVE = 1 << 0
+# material flags (src/mesh/MeshView.h flags + renderer.cu:734-744 flag setup).
+# The low bits mirror the reference's shadow-ray masks: NEE shadow rays carry
+# mask 0x1 (direct, pathtracer_core.h:981) or 0x2 (indirect, :1099) and the
+# shadow any-hit ignores triangles with (ray.mask & flags) != 0
+# (optix_base_shadow_shaders.h:59) — i.e. these bits make a material
+# invisible to that class of shadow rays.
+FLAG_SHADOW_DIRECT_IGNORE = 1 << 0
+FLAG_SHADOW_INDIRECT_IGNORE = 1 << 1
+FLAG_EMISSIVE = 1 << 8
 
 
 class MaterialTable(NamedTuple):

@@ -42,6 +42,47 @@ class MeshStorage:
     materials: List[HostMaterial] = field(default_factory=list)
     group_names: List[str] = field(default_factory=list)
     group_offsets: np.ndarray = field(default_factory=lambda: np.zeros((1,), np.int32))
+    # compressed attribute storage (MeshStorage.h:146-147) — when set, the
+    # float arrays above are empty and attributes decompress on demand
+    normals_packed: "np.ndarray" = None  # (N,) uint32 octahedral 16+16
+    uvs_packed: "np.ndarray" = None  # (N,) uint32 fixed 15-bit pair
+    uv_bias: "np.ndarray" = None  # (2,) f32
+    uv_scale: "np.ndarray" = None  # (2,) f32
+
+    def compress_normals(self) -> "MeshStorage":
+        """Swap float normals for the packed octahedral codec
+        (MeshStorage::compress_normals, applied by renderer.cu:735)."""
+        from fermat_tpu.scene.compression import compress_normals as _c
+
+        if self.normals.shape[0] and self.normals_packed is None:
+            self.normals_packed = _c(self.normals)
+            self.normals = np.zeros((0, 3), np.float32)
+        return self
+
+    def compress_tex(self) -> "MeshStorage":
+        """Swap float uvs for the fixed-point codec
+        (MeshStorage::compress_tex, renderer.cu:736)."""
+        from fermat_tpu.scene.compression import compress_uv, uv_bias_scale
+
+        if self.uvs.shape[0] and self.uvs_packed is None:
+            self.uv_bias, self.uv_scale = uv_bias_scale(self.uvs)
+            self.uvs_packed = compress_uv(self.uvs, self.uv_bias, self.uv_scale)
+            self.uvs = np.zeros((0, 2), np.float32)
+        return self
+
+    def _resolved_normals(self) -> np.ndarray:
+        if self.normals_packed is not None and self.normals.shape[0] == 0:
+            from fermat_tpu.scene.compression import decompress_normals
+
+            return decompress_normals(self.normals_packed)
+        return self.normals
+
+    def _resolved_uvs(self) -> np.ndarray:
+        if self.uvs_packed is not None and self.uvs.shape[0] == 0:
+            from fermat_tpu.scene.compression import decompress_uv
+
+            return decompress_uv(self.uvs_packed, self.uv_bias, self.uv_scale)
+        return self.uvs
 
     @property
     def n_triangles(self) -> int:
@@ -95,6 +136,33 @@ class MeshStorage:
             return np.zeros(3, np.float32), np.zeros(3, np.float32)
         return self.vertices.min(0), self.vertices.max(0)
 
+    def filtered(self, keep: np.ndarray) -> "MeshStorage":
+        """A copy with only the triangles where keep[t] (vertices shared).
+
+        Used to build masked shadow-ray geometry (the reference instead
+        filters per-ray in the any-hit, optix_base_shadow_shaders.h:55-59;
+        with static flags a pre-filtered triangle set is the TPU shape).
+        Groups collapse to one — occlusion rays never read group names.
+        """
+        keep = np.asarray(keep, bool)
+        t = self.triangles[keep]
+        return MeshStorage(
+            vertices=self.vertices,
+            triangles=t,
+            normals=self.normals,
+            normal_indices=self.normal_indices[keep]
+            if self.normal_indices.shape[0] == self.n_triangles
+            else np.full_like(t, -1),
+            uvs=self.uvs,
+            uv_indices=self.uv_indices[keep]
+            if self.uv_indices.shape[0] == self.n_triangles
+            else np.full_like(t, -1),
+            material_ids=self.material_ids[keep],
+            materials=self.materials,
+            group_names=["shadow"],
+            group_offsets=np.asarray([0, t.shape[0]], np.int32),
+        )
+
     def device_view(self) -> "MeshView":
         """Build the kernel-facing SoA pytree (MeshView.h:96 analog)."""
         t = self.triangles.astype(np.int32)
@@ -108,15 +176,17 @@ class MeshStorage:
         gn = np.cross(p1 - p0, p2 - p0)
         gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
         corner_n = np.repeat(gn[:, None, :], 3, axis=1)  # (T,3corner,3)
-        if self.normals.shape[0]:
+        normals = self._resolved_normals()
+        if normals.shape[0]:
             ni = self.normal_indices
             ok = ni >= 0
-            corner_n[ok] = self.normals[np.where(ok, ni, 0)][ok]
+            corner_n[ok] = normals[np.where(ok, ni, 0)][ok]
         corner_uv = np.zeros((self.n_triangles, 3, 2), np.float32)
-        if self.uvs.shape[0]:
+        uvs = self._resolved_uvs()
+        if uvs.shape[0]:
             ui = self.uv_indices
             ok = ui >= 0
-            corner_uv[ok] = self.uvs[np.where(ok, ui, 0)][ok]
+            corner_uv[ok] = uvs[np.where(ok, ui, 0)][ok]
 
         mat = [m.finalize_flags() for m in self.materials] or [HostMaterial("default")]
         # texture-LOD base: uv-space area vs world-space area per triangle

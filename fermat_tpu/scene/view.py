@@ -25,6 +25,15 @@ from fermat_tpu.scene.mesh import MeshStorage, MeshView
 from fermat_tpu.scene.textures import TextureAtlas
 
 
+class ShadowSet(NamedTuple):
+    """Pre-filtered occlusion-only geometry for one shadow-ray mask bit
+    (the any-hit-ignore set of optix_base_shadow_shaders.h:55-59)."""
+
+    mesh: MeshView
+    bvh: BvhView
+    clusters: "object"
+
+
 class SceneView(NamedTuple):
     mesh: MeshView
     bvh: BvhView
@@ -36,6 +45,10 @@ class SceneView(NamedTuple):
     point_lights: "object"  # PointLightsView (delta lights)
     clusters: "object" = None  # accel.cluster.ClusterView (large-scene TPU path)
     vpls: "object" = None  # mesh_lights.VPLView (presampled emission-proportional points)
+    # masked shadow-ray geometry (optix_base_shadow_shaders.h:55-59): a
+    # (direct, indirect) pair of ShadowSet or None when no material carries
+    # the FLAG_SHADOW_*_IGNORE bits (the common case — zero overhead)
+    shadow_sets: "object" = None
 
     @property
     def has_textures(self) -> bool:
@@ -111,9 +124,38 @@ class SceneView(NamedTuple):
 
         from fermat_tpu.scene.analytic_lights import PointLightsView
 
+        # masked shadow geometry: one pre-filtered set per shadow-ray mask
+        # bit actually used by the scene's materials
+        import numpy as np
+
+        from fermat_tpu.scene.materials import (
+            FLAG_SHADOW_DIRECT_IGNORE,
+            FLAG_SHADOW_INDIRECT_IGNORE,
+        )
+
+        tri_flags = np.asarray(
+            [m.flags for m in storage.materials], np.int32
+        )[np.asarray(storage.material_ids)] if storage.n_triangles else np.zeros(0, np.int32)
+
+        def shadow_set(bit):
+            drop = (tri_flags & bit) != 0
+            if not drop.any():
+                return None
+            sub = storage.filtered(~drop)
+            smesh = sub.device_view()
+            return ShadowSet(
+                mesh=smesh,
+                bvh=build_bvh_for_mesh(smesh, leaf_size=leaf_size),
+                clusters=build_clusters(smesh),
+            )
+
+        sd = shadow_set(FLAG_SHADOW_DIRECT_IGNORE)
+        si = shadow_set(FLAG_SHADOW_INDIRECT_IGNORE)
+        shadow_sets = (sd, si) if (sd is not None or si is not None) else None
+
         return SceneView(
             mesh=mesh, bvh=bvh, lights=lights, dir_lights=dl, camera=camera,
             textures=atlas, env=jnp.asarray(env_radiance, jnp.float32),
             point_lights=PointLightsView.build(list(point_light_defs)),
-            clusters=clusters, vpls=vpls,
+            clusters=clusters, vpls=vpls, shadow_sets=shadow_sets,
         )

@@ -104,6 +104,67 @@ def read_pfm(path: str) -> np.ndarray:
         return img[::-1].copy()
 
 
+def write_hdr(path: str, img: np.ndarray) -> None:
+    """Radiance RGBE .hdr writer (cugar/image/rgbe analog; shared-exponent
+    8+8+8+8 encoding, flat scanlines — readers accept unencoded data)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, -1)
+    h, w = img.shape[:2]
+    rgb = np.maximum(img[..., :3], 0.0)
+    mx = rgb.max(-1)
+    nz = mx >= 1e-32
+    _m, ev = np.frexp(np.where(nz, mx, 1.0))
+    scale = np.where(nz, np.ldexp(1.0, -ev) * 256.0, 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.minimum(rgb * scale[..., None], 255.0).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, ev + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Radiance RGBE .hdr reader (flat + RLE scanlines)."""
+    with open(path, "rb") as f:
+        if not f.readline().startswith(b"#?"):
+            raise ValueError("not a Radiance HDR file")
+        while True:
+            line = f.readline()
+            if line in (b"\n", b"\r\n", b""):
+                break
+        dims = f.readline().split()
+        h, w = int(dims[1]), int(dims[3])
+        data = f.read()
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for y in range(h):
+        if (len(data) - pos >= 4 and data[pos] == 2 and data[pos + 1] == 2
+                and (data[pos + 2] << 8 | data[pos + 3]) == w):
+            pos += 4  # adaptive RLE scanline, per-component runs
+            for c in range(4):
+                x = 0
+                while x < w:
+                    cnt = data[pos]
+                    pos += 1
+                    if cnt > 128:  # run
+                        rgbe[y, x:x + cnt - 128, c] = data[pos]
+                        pos += 1
+                        x += cnt - 128
+                    else:  # literal
+                        rgbe[y, x:x + cnt, c] = np.frombuffer(
+                            data, np.uint8, cnt, pos)
+                        pos += cnt
+                        x += cnt
+        else:  # flat scanline
+            rgbe[y] = np.frombuffer(data, np.uint8, w * 4, pos).reshape(w, 4)
+            pos += w * 4
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
+    return (rgbe[..., :3].astype(np.float32) * scale[..., None]).astype(np.float32)
+
+
 def read_image(path: str) -> np.ndarray:
     """Any supported image -> float32 RGB in [0,1] (HDR passthrough for PFM)."""
     ext = os.path.splitext(path)[1].lower()
@@ -113,6 +174,8 @@ def read_image(path: str) -> np.ndarray:
     if ext == ".pfm":
         img = read_pfm(path)
         return img if img.ndim == 3 else np.repeat(img[..., None], 3, -1)
+    if ext == ".hdr":
+        return read_hdr(path)
     try:
         import imageio.v3 as iio
 

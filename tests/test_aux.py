@@ -51,7 +51,11 @@ class TestCheckpoint:
 
 
 class TestInverseRendering:
+    @pytest.mark.slow
     def test_recover_albedo(self):
+        # ~100s of CPU gradient-descent; the fast tier keeps FD gradient
+        # checks (tests/test_gradients.py) and the testball demo covers
+        # the recovery loop in the slow tier
         """BASELINE config #5 (reduced): recover diffuse albedos from a target
         render by pixel-gradient descent through the differentiable PT."""
         from fermat_tpu.integrators.pt import PTOptions, render_pass

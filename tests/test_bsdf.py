@@ -32,6 +32,7 @@ def _params(
     opacity=1.0,
     ior=1.5,
     diffuse_trans=(0.0, 0.0, 0.0),
+    reflectivity=(0.0, 0.0, 0.0),
 ):
     full = lambda v: jnp.full(n, v, jnp.float32)
     return BsdfParams(
@@ -41,6 +42,7 @@ def _params(
         roughness=full(roughness),
         ior=full(ior),
         opacity=full(opacity),
+        reflectivity=Vec3(*(full(c) for c in reflectivity)),
     )
 
 
@@ -211,3 +213,97 @@ class TestComposite:
         # nearly everything transmits to the lower hemisphere
         frac_below = float(jnp.mean(jnp.where(s.valid, (s.wo.z < 0).astype(jnp.float32), 0.0)))
         assert frac_below > 0.8
+
+
+class TestClearcoat:
+    """The 5th, perfectly-specular coat layer (bsdf.h:102-135, 1202-1232)."""
+
+    def test_fresnel_limits(self):
+        from fermat_tpu.bsdf.composite import clearcoat_fresnel
+
+        n = 4
+        p = _params(n, reflectivity=(0.3, 0.2, 0.1))
+        # normal incidence -> Fc == reflectivity
+        wi_n = Vec3(jnp.zeros(n), jnp.zeros(n), jnp.ones(n))
+        fc = clearcoat_fresnel(p, wi_n)
+        np.testing.assert_allclose(np.asarray(fc.x), 0.3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(fc.z), 0.1, atol=2e-3)
+        # grazing -> toward white, channels converge (exact dielectric
+        # Fresnel with ior ~3.4 reaches ~0.86 at cos=0.02, 1 in the limit)
+        fc_g = clearcoat_fresnel(p, _fixed_wi(n, z=0.02))
+        assert (np.asarray(fc_g.x) > 0.8).all()
+        assert (np.asarray(fc_g.z) > 0.8).all()
+        fc_g2 = clearcoat_fresnel(p, _fixed_wi(n, z=0.002))
+        assert (np.asarray(fc_g2.z) > np.asarray(fc_g.z)).all()
+        # no coating -> exactly zero at every angle
+        p0 = _params(n)
+        for z in (1.0, 0.5, 0.05):
+            fc0 = clearcoat_fresnel(p0, _fixed_wi(n, z=max(z, 1e-3)))
+            assert float(jnp.abs(fc0.x).max()) == 0.0
+
+    def test_uncoated_material_unchanged(self):
+        """clearcoat=True with reflectivity == 0 must be bit-identical to
+        the 4-lobe model (static elision sanity)."""
+        from fermat_tpu.bsdf.composite import f_and_pdf, sample
+
+        n = 256
+        p = _params(n, specular=(0.4, 0.4, 0.4), roughness=0.2)
+        wi = _fixed_wi(n)
+        u0, u1, u2 = _uniforms(n, seed=3)
+        s_off = sample(p, wi, u0, u1, u2)
+        s_on = sample(p, wi, u0, u1, u2, clearcoat=True)
+        np.testing.assert_array_equal(np.asarray(s_off.wo.z), np.asarray(s_on.wo.z))
+        np.testing.assert_array_equal(np.asarray(s_off.g.x), np.asarray(s_on.g.x))
+        f0, pd0 = f_and_pdf(p, wi, s_off.wo)
+        f1, pd1 = f_and_pdf(p, wi, s_off.wo, clearcoat=True)
+        np.testing.assert_array_equal(np.asarray(f0.x), np.asarray(f1.x))
+        np.testing.assert_array_equal(np.asarray(pd0), np.asarray(pd1))
+
+    def test_coat_samples_mirror_direction(self):
+        from fermat_tpu.bsdf.composite import CLEARCOAT_REFL, sample
+
+        n = 4096
+        p = _params(n, reflectivity=(0.5, 0.5, 0.5))
+        wi = _fixed_wi(n, z=0.4)
+        u0, u1, u2 = _uniforms(n, seed=5)
+        s = sample(p, wi, u0, u1, u2, clearcoat=True)
+        cc = np.asarray(s.component) == CLEARCOAT_REFL
+        assert cc.mean() > 0.2  # Fc(0.4) is large for R0=0.5
+        # mirror about the normal: (-wi.x, -wi.y, wi.z)
+        np.testing.assert_allclose(np.asarray(s.wo.x)[cc], -np.asarray(wi.x)[cc], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s.wo.z)[cc], np.asarray(wi.z)[cc], rtol=1e-6)
+        # delta pdf stand-in; finite g
+        assert (np.asarray(s.pdf)[cc] > 1e29).all()
+        assert np.isfinite(np.asarray(s.g.x)[cc]).all()
+
+    def test_energy_conservation_with_coat(self):
+        """One-sample throughput estimator of directional albedo stays <= 1
+        for a coated white diffuse surface (coat redistributes, not adds)."""
+        from fermat_tpu.bsdf.composite import sample
+
+        n = 1 << 15
+        p = _params(n, diffuse=(1.0, 1.0, 1.0), reflectivity=(0.25, 0.25, 0.25))
+        wi = _fixed_wi(n, z=0.7)
+        u0, u1, u2 = _uniforms(n, seed=7)
+        s = sample(p, wi, u0, u1, u2, clearcoat=True)
+        g = np.asarray(s.g.x)
+        albedo = g[np.asarray(s.valid)].mean()
+        assert albedo <= 1.02, albedo
+        assert albedo > 0.5  # white diffuse + coat shouldn't destroy energy
+
+    def test_pt_renders_coated_scene(self):
+        """End-to-end: a coated cornell floor renders finite and brighter in
+        specular reflections than the uncoated one."""
+        from fermat_tpu.render.context import RenderingContext
+        from fermat_tpu.scene.procedural import cornell_box, cornell_camera
+
+        scene = cornell_box(light_size=2.0)
+        for m in scene.materials:
+            if m.name == "white":
+                m.reflectivity = (0.3, 0.3, 0.3)
+        ctx = RenderingContext.create(
+            scene, cornell_camera(), 24, 24, renderer="pt", max_path_length=3)
+        assert ctx.renderer_options.get("clearcoat") is True
+        img = np.asarray(ctx.render(4).composited)
+        assert np.isfinite(img).all()
+        assert img.max() > 0.05

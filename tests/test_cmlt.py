@@ -14,6 +14,9 @@ from fermat_tpu.integrators import cmlt as cm
 from fermat_tpu.render.context import RenderingContext
 from fermat_tpu.scene.procedural import cornell_box, cornell_camera
 
+# compile-heavy integrator tier — excluded from the default (fast) run
+pytestmark = pytest.mark.heavy
+
 RES = 32
 
 

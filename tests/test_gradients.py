@@ -33,6 +33,9 @@ from fermat_tpu.scene.lights import MeshLightsView
 from fermat_tpu.scene.procedural import cornell_box, cornell_camera
 from fermat_tpu.scene.view import SceneView
 
+# compile-heavy integrator tier — excluded from the default (fast) run
+pytestmark = pytest.mark.heavy
+
 RES = 16
 
 

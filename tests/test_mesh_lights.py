@@ -24,6 +24,9 @@ from fermat_tpu.scene.mesh_lights import (
 )
 from fermat_tpu.scene.procedural import cornell_box, cornell_camera
 
+# compile-heavy integrator tier — excluded from the default (fast) run
+pytestmark = pytest.mark.heavy
+
 RES = 32
 
 

@@ -14,6 +14,9 @@ from fermat_tpu.parallel.mesh import make_mesh, render_pass_sharded, train_step_
 from fermat_tpu.scene.procedural import cornell_box, cornell_camera
 from fermat_tpu.scene.view import SceneView
 
+# compile-heavy integrator tier — excluded from the default (fast) run
+pytestmark = pytest.mark.heavy
+
 RES = 16
 
 

@@ -6,6 +6,9 @@ import pytest
 from fermat_tpu.render.context import RenderingContext
 from fermat_tpu.scene.procedural import cornell_box, cornell_camera
 
+# compile-heavy integrator tier — excluded from the default (fast) run
+pytestmark = pytest.mark.heavy
+
 RES = 32
 
 
@@ -50,11 +53,84 @@ class TestPssmlt:
         m_pt = img_pt.mean((0, 1))
         m_ml = img_ml.mean((0, 1))
         rel = np.abs(m_pt - m_ml) / np.maximum(m_pt, 1e-3)
-        assert rel.max() < 0.15, (m_pt, m_ml)
+        # channel means are the bias signal: BPT-space chains measured at
+        # rel.max ~= 0.04 @ 256 steps (acceptance ~0.72)
+        assert rel.max() < 0.1, (m_pt, m_ml)
 
         def pool(x):
             return x.reshape(4, RES // 4, 4, RES // 4, 3).mean((1, 3))
 
         a, b = pool(img_pt), pool(img_ml)
         relp = np.abs(a - b) / np.maximum(np.maximum(a, b), 0.05)
-        assert relp.mean() < 0.25, (relp.mean(), relp.max())
+        # pooled error is MCMC variance, converging ~0.49/0.39/0.27 at
+        # 64/128/256 steps for the (default) bpt path space — the bound is
+        # set for 256 steps to keep the slow tier affordable
+        assert relp.mean() < 0.31, (relp.mean(), relp.max())
+
+
+def _shaded_light_scene():
+    """Cornell with the ceiling light fully enclosed by a glass shade: a
+    transmissive box around the emitter. Shadow rays are binary-opaque
+    (optix_shadow_material alpha any-hit is a separate feature), so NEE
+    never reaches the light and eye paths must random-walk through two
+    refractions — while a light subpath exits the shade and splats to the
+    camera easily. This is the path class that motivates seeding Metropolis
+    chains from BPT path space (pssmlt.cu:326-345)."""
+    import numpy as np
+
+    from fermat_tpu.scene.materials import HostMaterial
+    from fermat_tpu.scene.mesh import MeshStorage
+    from fermat_tpu.scene.procedural import _box
+
+    base = cornell_box(light_scale=4.0, light_size=2.0)
+    vs, tris, mats = [], [], []
+    # shade: thin open-topped glass box around the light quad
+    _box(vs, tris, mats, (-0.55, 1.82, -0.5), (0.55, 1.97, 0.55), 0)
+    m = HostMaterial("shade")
+    m.diffuse = (0.0, 0.0, 0.0)
+    m.opacity = 0.0  # fully transmissive glossy-trans
+    m.phong_exponent = 2000.0  # near-specular
+    m.index_of_refraction = 1.05
+    t = np.asarray(tris, np.int32)
+    shade = MeshStorage(
+        vertices=np.asarray(vs, np.float32),
+        triangles=t,
+        normal_indices=np.full_like(t, -1),
+        uv_indices=np.full_like(t, -1),
+        material_ids=np.asarray(mats, np.int32),
+        materials=[m],
+        group_names=["shade"],
+        group_offsets=np.asarray([0, t.shape[0]], np.int32),
+    )
+    return base.merge(shade)
+
+
+class TestBptPathSpaceDiscovery:
+    @pytest.mark.slow
+    def test_bpt_space_finds_shaded_light(self):
+        """BPT-space chains (light-tracing splats) must capture
+        substantially more energy than PT-space chains on the glass-shaded
+        light — the VERDICT r1 done-criterion for re-seating PSSMLT on BPT
+        path space."""
+        scene = _shaded_light_scene()
+        res = 24  # CPU cost: three contexts compile the transmissive lobes
+        # reference energy: plain BPT (light tracing handles the shade)
+        ctx_ref = RenderingContext.create(
+            scene, cornell_camera(), res, res, renderer="bpt",
+            max_path_length=4,
+        )
+        ref = np.asarray(ctx_ref.render(32).composited).mean()
+        ctx_b = RenderingContext.create(
+            scene, cornell_camera(), res, res, renderer="pssmlt",
+            max_path_length=4, path_space="bpt",
+        )
+        img_b = np.asarray(ctx_b.render(64).composited).mean()
+        ctx_p = RenderingContext.create(
+            scene, cornell_camera(), res, res, renderer="pssmlt",
+            max_path_length=4, path_space="pt",
+        )
+        img_p = np.asarray(ctx_p.render(64).composited).mean()
+        assert ref > 1e-4, ref
+        # BPT-space reaches the reference's ballpark; PT-space is starved
+        assert img_b > 0.5 * ref, (img_b, ref)
+        assert img_b > 2.0 * max(img_p, 1e-9), (img_b, img_p)

@@ -20,6 +20,9 @@ from fermat_tpu.scene.mesh_lights import (
 from fermat_tpu.scene.procedural import cornell_box, cornell_camera
 from fermat_tpu.utils.image import write_tga
 
+# compile-heavy integrator tier — excluded from the default (fast) run
+pytestmark = pytest.mark.heavy
+
 RES = 32
 
 

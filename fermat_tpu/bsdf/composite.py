@@ -14,9 +14,12 @@ in a precomputed 4D (eta, F0, roughness, cos) table loaded at init
 (renderer.cu:641-683); here E_g = max_comp(schlick(cos, F0)) * E_{F=1}(
 roughness, cos) with the F=1 albedo table integrated at import (ggx.py).
 
-The clearcoat layer (component 4) is not yet implemented: reflectivity is 0
-in every bundled scene, making Tc == 1 exactly (bsdf.h:781-792 degenerates to
-the inner weights). TODO(clearcoat): port the clearcoat_transmission pass.
+The clearcoat layer (component 4, bsdf.h:102-135) is the perfectly-specular
+coat whose IOR derives from `reflectivity`; see `clearcoat_fresnel` and the
+`clearcoat` flag on f_and_pdf/f_split/sample (compiled out when the scene
+has no coated material). The glossy reflection lobe can optionally run as
+an LTC proxy (`glossy="ltc"`, bsdf/ltc.py) mirroring the reference's
+USE_LTC switch (bsdf.h:89).
 
 Sampling is one-sample MIS over the four lobes: pick a lobe by its
 luminance-weighted selection probability, sample it, and return the FULL
@@ -226,8 +229,19 @@ def _selection_probs(p: BsdfParams, wi: Vec3, lobes=ALL_LOBES,
     return p_dr, p_dt, p_gr, p_gt, zero
 
 
+def _glossy_refl_eval(p: BsdfParams, alpha, wi, wo, glossy: str):
+    """Glossy reflection (f, pdf) — GGX-Smith or the LTC proxy (the
+    reference's USE_LTC switch, bsdf.h:89,159-231)."""
+    if glossy == "ltc":
+        from fermat_tpu.bsdf.ltc import ltc_eval
+
+        return ltc_eval(p.roughness, wi, wo)
+    return ggx.reflect_eval(alpha, wi, wo), ggx.reflect_pdf(alpha, wi, wo)
+
+
 def f_and_pdf(
-    p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES, clearcoat: bool = False
+    p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES, clearcoat: bool = False,
+    glossy: str = "ggx",
 ) -> Tuple[Vec3, Array]:
     """Composite f and the mixture pdf of `sample` (bsdf.h:336-413).
 
@@ -243,7 +257,10 @@ def f_and_pdf(
 
     f_dr = jnp.where(same, INV_PI, 0.0) * w_d if lobes[0] else zero
     f_dt = jnp.where(~same, INV_PI, 0.0) * w_dt if lobes[1] else zero
-    g_r = ggx.reflect_eval(alpha, wi, wo) if lobes[2] else zero
+    if lobes[2]:
+        g_r, _pdf_gr_shared = _glossy_refl_eval(p, alpha, wi, wo, glossy)
+    else:
+        g_r, _pdf_gr_shared = zero, zero
     g_t = ggx.refract_eval(alpha, p.ior, wi, wo) * w_gt if lobes[3] else zero
 
     fx = p.diffuse.x * f_dr + p.diffuse_trans.x * f_dt + r_coeff.x * g_r + g_t
@@ -258,14 +275,15 @@ def f_and_pdf(
         fz = fz * (1.0 - tc.z)
     pdf_dr = jnp.where(same, abs_co * INV_PI, 0.0) if lobes[0] else zero
     pdf_dt = jnp.where(~same, abs_co * INV_PI, 0.0) if lobes[1] else zero
-    pdf_gr = ggx.reflect_pdf(alpha, wi, wo) if lobes[2] else zero
+    pdf_gr = _pdf_gr_shared
     pdf_gt = ggx.refract_pdf(alpha, p.ior, wi, wo) if lobes[3] else zero
     mix_pdf = p_dr * pdf_dr + p_dt * pdf_dt + p_gr * pdf_gr + p_gt * pdf_gt
     return Vec3(fx, fy, fz), mix_pdf
 
 
 def f_split(
-    p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES, clearcoat: bool = False
+    p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES, clearcoat: bool = False,
+    glossy: str = "ggx",
 ) -> Tuple[Vec3, Vec3, Array]:
     """(f_diffuse, f_glossy, mixture_pdf) — the per-component split the
     reference's PTVertexProcessor uses to route diffuse vs specular framebuffer
@@ -277,7 +295,10 @@ def f_split(
     zero = jnp.zeros_like(abs_co)
     f_dr = jnp.where(same, INV_PI, 0.0) * w_d if lobes[0] else zero
     f_dt = jnp.where(~same, INV_PI, 0.0) * w_dt if lobes[1] else zero
-    g_r = ggx.reflect_eval(alpha, wi, wo) if lobes[2] else zero
+    if lobes[2]:
+        g_r, pdf_gr_shared = _glossy_refl_eval(p, alpha, wi, wo, glossy)
+    else:
+        g_r, pdf_gr_shared = zero, zero
     g_t = ggx.refract_eval(alpha, p.ior, wi, wo) * w_gt if lobes[3] else zero
     fd = Vec3(
         p.diffuse.x * f_dr + p.diffuse_trans.x * f_dt,
@@ -293,7 +314,7 @@ def f_split(
     mix_pdf = (
         p_dr * (jnp.where(same, abs_co * INV_PI, 0.0) if lobes[0] else zero)
         + p_dt * (jnp.where(~same, abs_co * INV_PI, 0.0) if lobes[1] else zero)
-        + p_gr * (ggx.reflect_pdf(alpha, wi, wo) if lobes[2] else zero)
+        + p_gr * pdf_gr_shared
         + p_gt * (ggx.refract_pdf(alpha, p.ior, wi, wo) if lobes[3] else zero)
     )
     return fd, fg, mix_pdf
@@ -309,7 +330,7 @@ class BsdfSample(NamedTuple):
 
 
 def sample(p: BsdfParams, wi: Vec3, u0, u1, u2, lobes=ALL_LOBES,
-           clearcoat: bool = False) -> BsdfSample:
+           clearcoat: bool = False, glossy: str = "ggx") -> BsdfSample:
     """One-sample-MIS lobe sampling (Bsdf::sample, bsdf.h:830-1140).
 
     With `clearcoat`, the coat's perfectly-specular reflection is a 5th,
@@ -337,9 +358,14 @@ def sample(p: BsdfParams, wi: Vec3, u0, u1, u2, lobes=ALL_LOBES,
     d_loc = square_to_cosine_hemisphere(u0, u1)
     wo_dr = Vec3(d_loc.x, d_loc.y, d_loc.z * side)
     wo_dt = Vec3(d_loc.x, d_loc.y, -d_loc.z * side)
-    wo_gr, _ = (
-        ggx.reflect_sample(alpha, wi, u0, u1) if lobes[2] else (wo_dr, None)
-    )
+    if not lobes[2]:
+        wo_gr = wo_dr
+    elif glossy == "ltc":
+        from fermat_tpu.bsdf.ltc import ltc_sample
+
+        wo_gr, _ = ltc_sample(p.roughness, wi, u0, u1)
+    else:
+        wo_gr, _ = ggx.reflect_sample(alpha, wi, u0, u1)
     if lobes[3]:
         wo_gt, pdf_gt_s = ggx.refract_sample(alpha, p.ior, wi, u0, u1)
     else:
@@ -373,7 +399,7 @@ def sample(p: BsdfParams, wi: Vec3, u0, u1, u2, lobes=ALL_LOBES,
         jax.lax.stop_gradient(wo.y),
         jax.lax.stop_gradient(wo.z),
     )
-    fv, mix_pdf = f_and_pdf(p, wi, wo, lobes, clearcoat)
+    fv, mix_pdf = f_and_pdf(p, wi, wo, lobes, clearcoat, glossy)
     # glossy-trans TIR lanes have pdf 0
     mix_pdf = jnp.where(is_gt & (pdf_gt_s <= 0.0), 0.0, mix_pdf)
     mix_pdf = jax.lax.stop_gradient(mix_pdf)

@@ -89,6 +89,9 @@ class PTOptions(NamedTuple):
     # clearcoat 5th layer (bsdf.h kClearcoatReflection) — auto-set from the
     # scene's materials (composite.scene_clearcoat); off compiles it out
     clearcoat: bool = False
+    # glossy reflection model: "ggx" (default) | "ltc" (the reference's
+    # USE_LTC alternative, bsdf.h:89 — table-driven LTC proxy, bsdf/ltc.py)
+    glossy_model: str = "ggx"
     # debug: detach whole contribution classes in the backward pass
     detach_nee: bool = False
     detach_emissive: bool = False
@@ -495,7 +498,7 @@ def render_pass(
                 fg = Vec3.zeros((n,))
                 bsdf_pdf = jnp.abs(wo_loc.z) * _IP
             else:
-                fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc, opts.lobes, opts.clearcoat)
+                fd, fg, bsdf_pdf = f_split(params, wi_loc, wo_loc, opts.lobes, opts.clearcoat, opts.glossy_model)
             pdf_sa = jax.lax.stop_gradient(
                 lpdf_a * dist2 / jnp.maximum(jnp.abs(cos_l), 1e-8)
             )
@@ -556,7 +559,7 @@ def render_pass(
                 dist = jnp.sqrt(dist2)
                 wo = to_l * (1.0 / dist)
                 wo_loc = to_local(wo, t_b, b_b, sn_f)
-                fd, fg, _ = f_split(params, wi_loc, wo_loc, opts.lobes, opts.clearcoat)
+                fd, fg, _ = f_split(params, wi_loc, wo_loc, opts.lobes, opts.clearcoat, opts.glossy_model)
                 cos_s = jnp.abs(wo_loc.z)
                 able = valid & ((fd.x + fg.x + fd.y + fg.y + fd.z + fg.z) > 0.0)
                 so = _offset_origin(pos, gn, wo, eps)
@@ -605,7 +608,7 @@ def render_pass(
                     -jnp.broadcast_to(ld.z, (n,)),
                 )
                 wo_loc = to_local(wo, t_b, b_b, sn_f)
-                fd, fg, _ = f_split(params, wi_loc, wo_loc, opts.lobes, opts.clearcoat)
+                fd, fg, _ = f_split(params, wi_loc, wo_loc, opts.lobes, opts.clearcoat, opts.glossy_model)
                 cos_s = jnp.abs(wo_loc.z)
                 able = valid & ((fd.x + fg.x + fd.y + fg.y + fd.z + fg.z) > 0.0)
                 so = _offset_origin(pos, gn, wo, eps)
@@ -636,7 +639,7 @@ def render_pass(
 
         # ---- BSDF scatter + RR (shade_vertex tail) ----
         ub0, ub1, ub2 = seq.sample_3d(c.pix_u, base_dim + jnp.uint32(3))
-        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes, opts.clearcoat)
+        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes, opts.clearcoat, opts.glossy_model)
         wo_world = to_world(s.wo, t_b, b_b, sn_f)
         new_thr = Vec3(c.thr.x * s.g.x, c.thr.y * s.g.y, c.thr.z * s.g.z)
         new_alive = valid & s.valid & ((s.g.x + s.g.y + s.g.z) > 0.0)

@@ -77,7 +77,16 @@ def load_mesh_any(path: str) -> MeshStorage:
         return load_ply(path)
     if ext == ".fa":
         return load_fa(path).mesh
-    raise ValueError(f"unsupported mesh format: {path}")
+    if ext in (".stl", ".off"):
+        # assimp-fallback analog (MeshStorage.cpp loadModel): native
+        # importers for the common interchange formats
+        from fermat_tpu.scene.loaders.misc import load_off, load_stl
+
+        return load_stl(path) if ext == ".stl" else load_off(path)
+    raise ValueError(
+        f"unsupported mesh format: {path} (supported: obj, ply, fa, pbrt, "
+        "stl, off — the reference's assimp fallback is not available here)"
+    )
 
 
 def load_fa(path: str, strict: bool = True) -> LoadedScene:

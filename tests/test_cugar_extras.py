@@ -401,3 +401,82 @@ class TestUvBvh:
                                       renderer="pt", max_path_length=2)
         img = np.asarray(ctx.render(1).composited)
         assert np.isfinite(img).all()
+
+
+class TestLtcComposite:
+    def test_pt_ltc_matches_ggx(self):
+        """PT with glossy_model='ltc' approximates the GGX render on a
+        glossy cornell (the LTC proxy is energy-matched; shape differences
+        are the documented LTC approximation error)."""
+        from fermat_tpu.render.context import RenderingContext
+        from fermat_tpu.scene.procedural import cornell_box, cornell_camera
+
+        scene = cornell_box(light_size=2.0, glossy_boxes=True)
+        a = RenderingContext.create(
+            scene, cornell_camera(), 16, 16, renderer="pt", max_path_length=3)
+        img_g = np.asarray(a.render(12).composited)
+        b = RenderingContext.create(
+            scene, cornell_camera(), 16, 16, renderer="pt", max_path_length=3,
+            glossy_model="ltc")
+        img_l = np.asarray(b.render(12).composited)
+        assert np.isfinite(img_l).all()
+        mg, ml = img_g.mean(), img_l.mean()
+        assert abs(mg - ml) / mg < 0.1, (mg, ml)
+
+
+class TestMiscLoaders:
+    """STL/OFF fallback importers (the assimp-path analog)."""
+
+    def _cube_tris(self):
+        from fermat_tpu.scene.procedural import cornell_box
+
+        ms = cornell_box()
+        v = ms.vertices[ms.triangles]
+        return v  # (T, 3, 3)
+
+    def test_binary_stl_roundtrip(self, tmp_path):
+        import struct
+
+        from fermat_tpu.scene.loaders.fa import load_mesh_any
+
+        tris = self._cube_tris()
+        p = str(tmp_path / "m.stl")
+        with open(p, "wb") as f:
+            f.write(b"\0" * 80)
+            f.write(struct.pack("<I", tris.shape[0]))
+            for t in tris:
+                f.write(b"\0" * 12)
+                f.write(np.asarray(t, np.float32).tobytes())
+                f.write(b"\0\0")
+        ms = load_mesh_any(p)
+        assert ms.n_triangles == tris.shape[0]
+        lo1, hi1 = ms.bbox()
+        np.testing.assert_allclose(lo1, tris.reshape(-1, 3).min(0), atol=1e-5)
+        np.testing.assert_allclose(hi1, tris.reshape(-1, 3).max(0), atol=1e-5)
+
+    def test_ascii_stl(self, tmp_path):
+        from fermat_tpu.scene.loaders.fa import load_mesh_any
+
+        p = str(tmp_path / "a.stl")
+        with open(p, "w") as f:
+            f.write("solid a\n")
+            f.write("facet normal 0 0 1\nouter loop\n")
+            f.write("vertex 0 0 0\nvertex 1 0 0\nvertex 0 1 0\n")
+            f.write("endloop\nendfacet\nendsolid a\n")
+        ms = load_mesh_any(p)
+        assert ms.n_triangles == 1
+
+    def test_off_with_quads(self, tmp_path):
+        from fermat_tpu.scene.loaders.fa import load_mesh_any
+
+        p = str(tmp_path / "q.off")
+        with open(p, "w") as f:
+            f.write("OFF\n4 1 0\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n")
+        ms = load_mesh_any(p)
+        assert ms.n_triangles == 2  # quad fan-triangulated
+
+    def test_unknown_format_message(self):
+        from fermat_tpu.scene.loaders.fa import load_mesh_any
+
+        with pytest.raises(ValueError, match="assimp"):
+            load_mesh_any("model.fbx")

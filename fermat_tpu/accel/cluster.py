@@ -7,16 +7,17 @@ TPU-native equivalent keeps the *hierarchy* but re-shapes it for the VPU
 and the memory system:
 
   * triangles are morton-ordered into 128-triangle CLUSTERS (one VPU lane
-    tile per cluster) and clusters into 8-cluster GROUPS (one DMA unit =
-    1024 triangles = 40 KB),
-  * the packed triangle data lives in HBM as a single (10, C_pad, 128)
-    array — component-major so a group DMA is one aligned (10, 8, 128)
-    rectangle — and is staged into VMEM scratch per group on demand,
-  * each GROUP carries an AABB; the trace kernel slab-tests every ray
-    block against ALL group boxes as dense (rays x 128-group) tiles — a
-    vectorized, branch-free "top level" — then runs the proven dense
-    Moller-Trumbore tile test only for groups the block actually overlaps
-    (lax.cond per group skips both the DMA and the math).
+    tile per cluster; GROUP=8 clusters only pads the cluster count),
+  * the packed triangle data lives in HBM as a single cluster-major
+    (C_pad, 16, 128) array so one cluster is one tile-aligned (16, 128)
+    DMA rectangle at an arbitrary (majormost-dim) offset, staged into
+    VMEM scratch on demand,
+  * each CLUSTER carries an AABB; the trace kernel slab-tests every ray
+    block against ALL cluster boxes as dense (rays x 128) tiles — a
+    vectorized, branch-free "top level" — then visits clusters in
+    near-to-far order, running the proven dense Moller-Trumbore tile test
+    only while the front-to-back bound says a ray can still improve
+    (lax.cond per cluster skips both the DMA and the math).
 
 This preserves the O(log)-ish culling of a BVH for coherent ray blocks
 while every executed instruction stays a dense (BLK, 128) vector op, and
@@ -39,13 +40,18 @@ GROUP = 8  # clusters per group == sublanes per DMA tile
 
 
 class ClusterView(NamedTuple):
-    """Device view: packed permuted soup (HBM) + group AABBs (VMEM)."""
+    """Device view: packed permuted soup (HBM) + cluster AABBs (VMEM)."""
 
-    # (10, C_pad, 128) f32, C_pad = n_groups * 8. Rows on axis 0:
-    # p0x p0y p0z e1x e1y e1z e2x e2y e2z oid. Padding triangles are
-    # degenerate (det == 0) and carry oid == -1.
+    # (C_pad, 16, 128) f32, C_pad = n_groups * 8, CLUSTER-MAJOR so a
+    # single cluster is one dynamic-offset DMA slice along the untiled
+    # majormost dim (a (10, C_pad, 128) layout needs sublane-aligned
+    # offsets in dim 1 — arbitrary cluster ids silently corrupt the copy
+    # on hardware). Rows on axis 1: p0x p0y p0z e1x e1y e1z e2x e2y e2z
+    # oid + 6 zero-pad rows (copy extents must be full (8, 128) tiles —
+    # a (10, 128) per-cluster DMA crashes the TPU worker). Padding
+    # triangles are degenerate (det == 0), oid == -1.
     tri: jax.Array
-    # (1, G_pad) group bounds, G_pad = ceil(G/128)*128; padding boxes empty
+    # (1, Cp) per-CLUSTER bounds, Cp = ceil(C_pad/128)*128; padding empty
     lo_x: jax.Array
     lo_y: jax.Array
     lo_z: jax.Array
@@ -55,11 +61,11 @@ class ClusterView(NamedTuple):
 
     @property
     def n_clusters(self) -> int:
-        return self.tri.shape[1]
+        return self.tri.shape[0]
 
     @property
     def n_groups(self) -> int:
-        return self.tri.shape[1] // GROUP
+        return self.tri.shape[0] // GROUP
 
 
 def _morton3d_np(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
@@ -108,9 +114,17 @@ def build_clusters(mesh_view) -> ClusterView:
              perm_pad(e2[:, 0]), perm_pad(e2[:, 1]), perm_pad(e2[:, 2]),
              np.concatenate([order.astype(np.float32),
                              np.full(pad, -1.0, np.float32)])]
-    tri = np.stack([c.astype(np.float32).reshape(c_pad, CLUSTER) for c in comps])
+    # pad the 10 component rows to 16 = two full (8, 128) f32 tiles: DMA
+    # copy extents in the (sublane, lane) dims must be tile multiples — a
+    # (10, 128) per-cluster copy crashed the TPU worker outright
+    comps = comps + [np.zeros(tp, np.float32)] * 6
+    tri = np.stack([c.astype(np.float32).reshape(c_pad, CLUSTER) for c in comps], axis=1)
 
-    # group bboxes over all three vertices (empty box for pure padding)
+    # per-CLUSTER bboxes over all three vertices (empty box for padding).
+    # Cluster granularity (128 tris) is the culling unit: group-level
+    # (1024-tri) boxes proved too coarse — room-scale ray blocks hit most
+    # group AABBs and the tracer degenerated toward brute force (round-2
+    # big_room measurements, STATUS.md).
     p0p = np.stack(comps[0:3], 1)
     e1p = np.stack(comps[3:6], 1)
     e2p = np.stack(comps[6:9], 1)
@@ -120,18 +134,17 @@ def build_clusters(mesh_view) -> ClusterView:
     big = 3.0e38
     mins = np.where(mask[:, None], np.minimum(np.minimum(p0p, v1p), v2p), big)
     maxs = np.where(mask[:, None], np.maximum(np.maximum(p0p, v1p), v2p), -big)
-    n_groups = c_pad // GROUP
-    g_lo = mins.reshape(n_groups, GROUP * CLUSTER, 3).min(axis=1)
-    g_hi = maxs.reshape(n_groups, GROUP * CLUSTER, 3).max(axis=1)
+    c_lo = mins.reshape(c_pad, CLUSTER, 3).min(axis=1)
+    c_hi = maxs.reshape(c_pad, CLUSTER, 3).max(axis=1)
 
-    gp = -(-n_groups // 128) * 128
-    gpad = gp - n_groups
-    g_lo = np.concatenate([g_lo, np.full((gpad, 3), big, np.float32)])
-    g_hi = np.concatenate([g_hi, np.full((gpad, 3), -big, np.float32)])
+    cp = -(-c_pad // 128) * 128
+    cpad = cp - c_pad
+    c_lo = np.concatenate([c_lo, np.full((cpad, 3), big, np.float32)])
+    c_hi = np.concatenate([c_hi, np.full((cpad, 3), -big, np.float32)])
 
     r = lambda a: jnp.asarray(a.astype(np.float32)).reshape(1, -1)
     return ClusterView(
         tri=jnp.asarray(tri),
-        lo_x=r(g_lo[:, 0]), lo_y=r(g_lo[:, 1]), lo_z=r(g_lo[:, 2]),
-        hi_x=r(g_hi[:, 0]), hi_y=r(g_hi[:, 1]), hi_z=r(g_hi[:, 2]),
+        lo_x=r(c_lo[:, 0]), lo_y=r(c_lo[:, 1]), lo_z=r(c_lo[:, 2]),
+        hi_x=r(c_hi[:, 0]), hi_y=r(c_hi[:, 1]), hi_z=r(c_hi[:, 2]),
     )

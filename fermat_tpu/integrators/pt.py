@@ -333,7 +333,12 @@ def render_pass(
             c.channel,
         )
         tri_c = jnp.maximum(hit.tri, 0)
-        pos, gn, sn, uv, mat_id = view.mesh.interpolate(tri_c, hit.u, hit.v)
+        # fused one-row shade fetch: geometry + material + lod in a single
+        # table lookup (PERF_ATTRIB "Remaining hot spots": the three
+        # separate fetches cost 3.4 + 2.3 + 1.5 ms/bounce at 512^2)
+        pos, gn, sn, uv, mat_id, lod_base, mats = view.mesh.shade_fetch(
+            tri_c, hit.u, hit.v
+        )
         wi = -c.d  # towards the previous vertex
 
         # flip shading frame to the ray side of the geometric surface
@@ -343,7 +348,6 @@ def render_pass(
         t_b, b_b = orthonormal_basis(sn_f)
         wi_loc = to_local(wi, t_b, b_b, sn_f)
 
-        mats = view.mesh.materials.gather(mat_id)
         params = BsdfParams.from_materials(mats)
 
         # ---- texture modulation with ray-cone LOD (texture_view.h sampling
@@ -353,7 +357,6 @@ def render_pass(
         if view.has_textures:
             from fermat_tpu.scene.textures import modulate
 
-            lod_base = view.mesh.fetch_lod_base(tri_c)
             d_tex = mats.diffuse_map
             res0 = view.textures.width[jnp.maximum(d_tex, 0), 0].astype(jnp.float32)
             lod = (

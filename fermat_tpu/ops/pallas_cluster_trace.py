@@ -7,15 +7,24 @@ tree walk.
 
 Kernel shape (per ray block, grid over blocks):
   phase 1  slab-test the block against ALL group AABBs as dense
-           (BLK x 128) tiles; reduce over rays to a per-group any-hit
-           mask in a VMEM scratch row. Branch-free, fully vectorized.
-  phase 2  lax.fori_loop over groups; each iteration reads its mask flag
-           and lax.cond-skips the group entirely (no DMA, no math) when
-           the block provably misses its AABB. A taken group DMAs its
-           (10, 8, 128) triangle rectangle from HBM into VMEM scratch
-           (40 KB) and runs eight 128-triangle Moller-Trumbore tile tests
-           — the same proven dense kernel as ops/pallas_trace.py, with the
-           original triangle id carried as an f32 lane row (no gathers).
+           (BLK x 128) tiles; reduce over rays to a per-group BLOCK-MIN
+           ENTRY DISTANCE row (+inf where the whole block misses).
+           Branch-free, fully vectorized.
+  phase 2  a fori_loop visiting CLUSTERS (128 tris each) in NEAR-TO-FAR
+           order: each step argmins the remaining entry distances, marks
+           the cluster visited, and — unless the front-to-back early-out
+           says no ray can still improve — DMAs the cluster's (16, 128)
+           triangle rectangle from HBM into VMEM (8 KB) and runs
+           one 128-triangle Moller-Trumbore tile test (the proven dense
+           kernel of ops/pallas_trace.py, original triangle id carried
+           as an f32 lane row, no gathers). Cluster granularity replaced
+           the original 1024-tri group granularity: group AABBs were so
+           coarse that room-scale ray blocks hit most of them and the
+           tracer ran at brute-force speed (0.17 Mrays/s on the 99k-tri
+           big_room). The early-out is the ordered-stack behavior an
+           RT-core BVH gets for free (rt.cpp:558-650). Lane-coherence
+           ray sorting (see _sort_perm) keeps blocks tight so both the
+           culling and the exit bound bite.
 
 Rays ride the sublane dim as (BLK, 1) columns; triangle tiles ride the
 128 lanes. All heavy math is (BLK, 128) VPU tiles. Triangle data is
@@ -49,15 +58,14 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _mask_flag(mask_ref, g):
-    """Read the per-group flag at dynamic index g from the (1, Gp) VMEM
-    mask. A direct scalar load `mask_ref[0, g]` is illegal on Mosaic (the
-    index is not provably 128-aligned); instead load the aligned 128-tile
-    containing g and extract with an iota select + reduce."""
-    base = (g // 128) * 128  # provably a multiple of 128
-    tile = mask_ref[0, pl.ds(base, 128)].reshape(1, 128)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    return jnp.sum(jnp.where(lane == (g % 128), tile, 0)) > 0
+def _argmin_row(row):
+    """(scalar min, scalar first-argmin) of a (1, Gp) f32 row — iota-select
+    reduction (no gathers)."""
+    gp = row.shape[1]
+    mn = jnp.min(row)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gp), 1)
+    g = jnp.min(jnp.where(row == mn, lane, gp))
+    return mn, g
 
 
 def _mt_tile(ox, oy, oz, dx, dy, dz, tmin, t_lim, tri):
@@ -89,17 +97,20 @@ def _mt_tile(ox, oy, oz, dx, dy, dz, tmin, t_lim, tri):
     return tt, uu, vv, ok
 
 
-def _group_mask_phase(
+def _group_near_phase(
     ox, oy, oz, dx, dy, dz, tmin, tmax0,
     lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
-    mask_ref, n_gtiles: int,
+    n_gtiles: int,
 ):
-    """Phase 1: per-group any-ray slab-hit mask into mask_ref (1, Gp)."""
+    """Phase 1: per-cluster BLOCK-MIN slab entry distance, +inf where the
+    whole block misses. Returns the (1, Cp) row as a value (the phase-2
+    loop carries and consumes it)."""
     inv = lambda c: jnp.where(
         jnp.abs(c) > 1e-20, 1.0 / jnp.where(c == 0.0, 1.0, c),
         jnp.where(c >= 0, 1e20, -1e20),
     )
     idx, idy, idz = inv(dx), inv(dy), inv(dz)
+    rows = []
     for gt in range(n_gtiles):
         s = gt * 128
         ld = lambda ref: ref[0, pl.ds(s, 128)].reshape(1, 128)
@@ -119,21 +130,37 @@ def _group_mask_phase(
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.minimum(jnp.maximum(t0z, t1z), tmax0),
         )
-        any_hit = jnp.any(near <= far, axis=0, keepdims=True)  # (1, 128)
-        mask_ref[:, pl.ds(s, 128)] = any_hit.astype(jnp.int32)
+        # padding clusters carry inverted (+big, -big) boxes; the slab
+        # arithmetic on them overflows to +-inf and degenerates to
+        # near=tmin/far=tmax — i.e. they PASS. An explicit emptiness mask
+        # keeps them out (they were stealing near-ordered visit
+        # iterations from real clusters: measured ~3% missed hits on a
+        # padded 80/128 cluster set).
+        nonempty = lox <= hix
+        near_v = jnp.where((near <= far) & nonempty, near, _BIG)
+        rows.append(jnp.min(near_v, axis=0, keepdims=True))  # (1, 128)
+    return jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]
 
 
-def _stage_group(tri_hbm, tri_vmem, sem, g):
-    """DMA group g's (10, 8, 128) triangle rectangle HBM -> VMEM."""
-    cp = pltpu.make_async_copy(
-        tri_hbm.at[:, pl.ds(g * GROUP, GROUP), :], tri_vmem, sem
-    )
+def _stage_cluster(tri_hbm, tri_vmem, sem, c):
+    """DMA cluster c's (16, 128) triangle rectangle HBM -> VMEM.
+
+    Two hardware constraints learned the hard way (interpret mode accepts
+    all of these; the chip does not):
+      * the cluster id must scalar-index the MAJORMOST dim (`ref.at[idx]`)
+        — offsets into the middle dim of the old (10, C, 128) layout had
+        to be multiples of 8, and arbitrary ids there produced
+        silently-corrupt copies;
+      * the copy extent must be whole (8, 128) tiles — a (10, 128) copy
+        crashed the TPU worker, hence the 16-row padded layout."""
+    cp = pltpu.make_async_copy(tri_hbm.at[c], tri_vmem, sem)
     cp.start()
     cp.wait()
 
 
 def _row(tri_vmem, comp: int, r: int):
-    return tri_vmem[comp, r, :].reshape(1, CLUSTER)
+    del r  # single-cluster staging
+    return tri_vmem[comp, :].reshape(1, CLUSTER)
 
 
 def _closest_kernel(
@@ -141,8 +168,8 @@ def _closest_kernel(
     tri_hbm,
     lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
     t_out, tri_out, u_out, v_out,
-    mask_ref, tri_vmem, sem,
-    *, n_groups: int, n_gtiles: int,
+    tri_vmem, sem,
+    *, n_units: int, n_gtiles: int,
 ):
     blk = ox_ref.shape[0]
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -150,53 +177,64 @@ def _closest_kernel(
     tmin = tmin_ref[:]
     tmax0 = tmax_ref[:]
 
-    _group_mask_phase(
+    near_row = _group_near_phase(
         ox, oy, oz, dx, dy, dz, tmin, tmax0,
         lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
-        mask_ref, n_gtiles,
+        n_gtiles,
     )
-
+    gp = near_row.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gp), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (blk, CLUSTER), 1)
 
-    def group_body(g, carry):
-        def work(carry):
-            _stage_group(tri_hbm, tri_vmem, sem, g)
-            t_best, id_best, u_best, v_best = carry
-            for r in range(GROUP):
-                tri = tuple(_row(tri_vmem, c, r) for c in range(9))
-                tt, uu, vv, ok = _mt_tile(
-                    ox, oy, oz, dx, dy, dz, tmin, t_best, tri
-                )
-                tt = jnp.where(ok, tt, _BIG)
-                t_new = jnp.min(tt, axis=1, keepdims=True)
-                got = t_new < t_best
-                cand = jnp.where(tt == t_new, col, CLUSTER)
-                kmin = jnp.min(cand, axis=1, keepdims=True)
-                onehot = col == kmin
-                ids = _row(tri_vmem, 9, r)
-                id_new = jnp.sum(jnp.where(onehot, ids, 0.0), axis=1,
-                                 keepdims=True)
-                u_new = jnp.sum(jnp.where(onehot, uu, 0.0), axis=1,
-                                keepdims=True)
-                v_new = jnp.sum(jnp.where(onehot, vv, 0.0), axis=1,
-                                keepdims=True)
-                t_best = jnp.where(got, t_new, t_best)
-                id_best = jnp.where(got, id_new, id_best)
-                u_best = jnp.where(got, u_new, u_best)
-                v_best = jnp.where(got, v_new, v_best)
+    def cluster_body(i, carry):
+        near, t_best, id_best, u_best, v_best = carry
+        mn, g = _argmin_row(near)
+        near = jnp.where(lane == g, _BIG, near)  # mark visited
+        # front-to-back early-out: once the nearest unvisited cluster lies
+        # beyond every ray's current best hit, remaining iterations skip
+        # the DMA + intersection work entirely (argmin bookkeeping only)
+        do = mn < jnp.max(t_best)
+
+        def work(cr):
+            t_best, id_best, u_best, v_best = cr
+            _stage_cluster(tri_hbm, tri_vmem, sem, g)
+            tri = tuple(_row(tri_vmem, c, 0) for c in range(9))
+            tt, uu, vv, ok = _mt_tile(
+                ox, oy, oz, dx, dy, dz, tmin, t_best, tri
+            )
+            tt = jnp.where(ok, tt, _BIG)
+            t_new = jnp.min(tt, axis=1, keepdims=True)
+            got = t_new < t_best
+            cand = jnp.where(tt == t_new, col, CLUSTER)
+            kmin = jnp.min(cand, axis=1, keepdims=True)
+            onehot = col == kmin
+            ids = _row(tri_vmem, 9, 0)
+            id_new = jnp.sum(jnp.where(onehot, ids, 0.0), axis=1,
+                             keepdims=True)
+            u_new = jnp.sum(jnp.where(onehot, uu, 0.0), axis=1,
+                            keepdims=True)
+            v_new = jnp.sum(jnp.where(onehot, vv, 0.0), axis=1,
+                            keepdims=True)
+            t_best = jnp.where(got, t_new, t_best)
+            id_best = jnp.where(got, id_new, id_best)
+            u_best = jnp.where(got, u_new, u_best)
+            v_best = jnp.where(got, v_new, v_best)
             return t_best, id_best, u_best, v_best
 
-        m = _mask_flag(mask_ref, g)
-        return jax.lax.cond(m, work, lambda cr: cr, carry)
+        t_best, id_best, u_best, v_best = jax.lax.cond(
+            do, work, lambda cr: cr, (t_best, id_best, u_best, v_best)
+        )
+        return near, t_best, id_best, u_best, v_best
 
     init = (
+        near_row,
         tmax0,
         jnp.full((blk, 1), -1.0, jnp.float32),
         jnp.zeros((blk, 1), jnp.float32),
         jnp.zeros((blk, 1), jnp.float32),
     )
-    t_best, id_best, u_best, v_best = jax.lax.fori_loop(
-        0, n_groups, group_body, init
+    _near, t_best, id_best, u_best, v_best = jax.lax.fori_loop(
+        0, n_units, cluster_body, init
     )
     t_out[:] = t_best
     tri_out[:] = id_best.astype(jnp.int32)
@@ -209,8 +247,8 @@ def _any_kernel(
     tri_hbm,
     lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
     occ_out,
-    mask_ref, tri_vmem, sem,
-    *, n_groups: int, n_gtiles: int,
+    tri_vmem, sem,
+    *, n_units: int, n_gtiles: int,
 ):
     blk = ox_ref.shape[0]
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -218,37 +256,45 @@ def _any_kernel(
     tmin = tmin_ref[:]
     tmax0 = tmax_ref[:]
 
-    _group_mask_phase(
+    near_row = _group_near_phase(
         ox, oy, oz, dx, dy, dz, tmin, tmax0,
         lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
-        mask_ref, n_gtiles,
+        n_gtiles,
     )
+    gp = near_row.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gp), 1)
 
     # occlusion is carried as f32 0/1 — Mosaic cannot legalize (BLK, 1) i1
-    # vectors as fori_loop carries (scf.for with vpad'ed i1 layouts)
-    def group_body(g, occ):
+    # vectors as loop carries (vpad'ed i1 layouts). Near-ordered visiting
+    # maximizes the chance of occluding every lane early; iterations after
+    # that point skip all work.
+    def cluster_body(i, carry):
+        near, occ = carry
+        mn, g = _argmin_row(near)
+        near = jnp.where(lane == g, _BIG, near)
+        pend_max = jnp.max(jnp.where(occ > 0.0, -1.0, tmax0))
+        do = mn < pend_max
+
         def work(occ):
-            _stage_group(tri_hbm, tri_vmem, sem, g)
-            for r in range(GROUP):
-                tri = tuple(_row(tri_vmem, c, r) for c in range(9))
-                _tt, _uu, _vv, ok = _mt_tile(
-                    ox, oy, oz, dx, dy, dz, tmin, tmax0, tri
-                )
-                # exclude padding (oid < 0) — degenerate pads never pass
-                # det, but keep the guard for safety
-                ok = ok & (_row(tri_vmem, 9, r) >= 0.0)
-                hit_f = jnp.max(
-                    jnp.where(ok, 1.0, 0.0), axis=1, keepdims=True
-                )
-                occ = jnp.maximum(occ, hit_f)
+            _stage_cluster(tri_hbm, tri_vmem, sem, g)
+            tri = tuple(_row(tri_vmem, c, 0) for c in range(9))
+            _tt, _uu, _vv, ok = _mt_tile(
+                ox, oy, oz, dx, dy, dz, tmin, tmax0, tri
+            )
+            # exclude padding (oid < 0) — degenerate pads never pass
+            # det, but keep the guard for safety
+            ok = ok & (_row(tri_vmem, 9, 0) >= 0.0)
+            hit_f = jnp.max(
+                jnp.where(ok, 1.0, 0.0), axis=1, keepdims=True
+            )
+            occ = jnp.maximum(occ, hit_f)
             return occ
 
-        live = jnp.sum(occ) < blk  # early skip once all occluded
-        m = _mask_flag(mask_ref, g) & live
-        return jax.lax.cond(m, work, lambda o: o, occ)
+        occ = jax.lax.cond(do, work, lambda o: o, occ)
+        return near, occ
 
-    occ = jax.lax.fori_loop(
-        0, n_groups, group_body, jnp.zeros((blk, 1), jnp.float32)
+    _near, occ = jax.lax.fori_loop(
+        0, n_units, cluster_body, (near_row, jnp.zeros((blk, 1), jnp.float32))
     )
     occ_out[:] = occ > 0.0
 
@@ -268,7 +314,7 @@ def _closest_impl(tri, boxes, o, d, tmin, tmax, block: int):
         return jnp.pad(a, (0, pad)).reshape(n_pad, 1)
 
     rays = tuple(pr(a) for a in (*o, *d, tmin, tmax))
-    n_groups = tri.shape[1] // GROUP
+    n_units = tri.shape[0]  # clusters (major dim)
     gp = boxes[0].shape[1]
 
     ray_spec = pl.BlockSpec((block, 1), lambda i: (i, 0))
@@ -277,7 +323,7 @@ def _closest_impl(tri, boxes, o, d, tmin, tmax, block: int):
     out_spec = pl.BlockSpec((block, 1), lambda i: (i, 0))
     t, tri_id, u, v = pl.pallas_call(
         functools.partial(
-            _closest_kernel, n_groups=n_groups, n_gtiles=gp // 128
+            _closest_kernel, n_units=n_units, n_gtiles=gp // 128
         ),
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
@@ -289,8 +335,7 @@ def _closest_impl(tri, boxes, o, d, tmin, tmax, block: int):
         in_specs=[ray_spec] * 8 + [hbm_spec] + [box_spec] * 6,
         out_specs=[out_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM((1, gp), jnp.int32),
-            pltpu.VMEM((10, GROUP, CLUSTER), jnp.float32),
+            pltpu.VMEM((16, CLUSTER), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
@@ -311,28 +356,53 @@ def _any_impl(tri, boxes, o, d, tmin, tmax, block: int):
         return jnp.pad(a, (0, pad)).reshape(n_pad, 1)
 
     rays = tuple(pr(a) for a in (*o, *d, tmin, tmax))
-    n_groups = tri.shape[1] // GROUP
+    n_units = tri.shape[0]  # clusters (major dim)
     gp = boxes[0].shape[1]
     ray_spec = pl.BlockSpec((block, 1), lambda i: (i, 0))
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     box_spec = pl.BlockSpec((1, gp), lambda i: (0, 0))
     occ = pl.pallas_call(
         functools.partial(
-            _any_kernel, n_groups=n_groups, n_gtiles=gp // 128
+            _any_kernel, n_units=n_units, n_gtiles=gp // 128
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), bool),
         grid=(g,),
         in_specs=[ray_spec] * 8 + [hbm_spec] + [box_spec] * 6,
         out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((1, gp), jnp.int32),
-            pltpu.VMEM((10, GROUP, CLUSTER), jnp.float32),
+            pltpu.VMEM((16, CLUSTER), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(*rays, tri, *boxes)
     return occ.reshape(n_pad)[:n]
+
+
+def _sort_perm(clusters: ClusterView, o: Vec3, d: Vec3) -> Array:
+    """Coherence permutation: 15-bit origin morton + 3-bit direction octant.
+
+    Wavefront rays arrive in pixel order; after the first bounce they are
+    spatially incoherent, which defeats the block-level AABB culling and
+    front-to-back exit (every group's entry distance ends up below some
+    ray's best hit). Sorting restores block coherence — the same trick the
+    reference gets implicitly from RT cores' per-ray traversal. Cost: one
+    u32 argsort + gathers (~2% of a trace at 1.4M rays)."""
+    from fermat_tpu.core.morton import morton3d
+
+    lo = (jnp.min(clusters.lo_x), jnp.min(clusters.lo_y), jnp.min(clusters.lo_z))
+    hi = (jnp.max(clusters.hi_x), jnp.max(clusters.hi_y), jnp.max(clusters.hi_z))
+    inv = tuple(1.0 / jnp.maximum(h - l, 1e-20) for l, h in zip(lo, hi))
+    nx = (o.x - lo[0]) * inv[0]
+    ny = (o.y - lo[1]) * inv[1]
+    nz = (o.z - lo[2]) * inv[2]
+    m = morton3d(nx, ny, nz) >> 15  # keep the top 15 bits (5/axis)
+    octant = (
+        (d.x < 0).astype(jnp.uint32) * 4
+        + (d.y < 0).astype(jnp.uint32) * 2
+        + (d.z < 0).astype(jnp.uint32)
+    )
+    return jnp.argsort((m << 3) | octant)
 
 
 def trace_closest_cluster(
@@ -343,6 +413,7 @@ def trace_closest_cluster(
     tmax: Array,
     active: Optional[Array] = None,
     block: int = DEF_BLK,
+    sort: bool = True,
 ) -> Hit:
     """Closest-hit over the clustered soup (drop-in for trace_closest)."""
     n = o.x.shape[0]
@@ -350,10 +421,20 @@ def trace_closest_cluster(
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     if active is not None:
         tmax_b = jnp.where(active, tmax_b, -1.0)
+    do_sort = sort and n >= 4 * block
+    if do_sort:
+        perm = _sort_perm(clusters, o, d)
+        g = lambda a: a[perm]
+        o = Vec3(g(o.x), g(o.y), g(o.z))
+        d = Vec3(g(d.x), g(d.y), g(d.z))
+        tmin_b, tmax_b = g(tmin_b), g(tmax_b)
     t, tri, u, v = _closest_impl(
         clusters.tri, _boxes(clusters), (o.x, o.y, o.z), (d.x, d.y, d.z),
         tmin_b, tmax_b, block
     )
+    if do_sort:
+        un = lambda a: jnp.zeros_like(a).at[perm].set(a)
+        t, tri, u, v = un(t), un(tri), un(u), un(v)
     missed = tri < 0
     return Hit(
         t=jnp.where(missed, jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,)), t),
@@ -371,16 +452,26 @@ def trace_any_cluster(
     tmax: Array,
     active: Optional[Array] = None,
     block: int = DEF_BLK,
+    sort: bool = True,
 ) -> Array:
     n = o.x.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     if active is not None:
         tmax_b = jnp.where(active, tmax_b, -1.0)
+    do_sort = sort and n >= 4 * block
+    if do_sort:
+        perm = _sort_perm(clusters, o, d)
+        g = lambda a: a[perm]
+        o = Vec3(g(o.x), g(o.y), g(o.z))
+        d = Vec3(g(d.x), g(d.y), g(d.z))
+        tmin_b, tmax_b = g(tmin_b), g(tmax_b)
     occ = _any_impl(
         clusters.tri, _boxes(clusters), (o.x, o.y, o.z), (d.x, d.y, d.z),
         tmin_b, tmax_b, block
     )
+    if do_sort:
+        occ = jnp.zeros_like(occ).at[perm].set(occ)
     if active is not None:
         occ = occ & active
     return occ

@@ -333,6 +333,9 @@ class RenderingContext:
                 "uv": jnp.reshape(out.uv, (res_y, res_x, 2)),
                 "tri": jnp.reshape(out.tri, (res_y, res_x)),
                 "material": jnp.reshape(out.material, (res_y, res_x)),
+                # per-pass traced-ray counter (closest + shadow; masked
+                # dead lanes excluded) — dump_speed_stats' true ray rate
+                "rays": out.rays,
             }
             return (new_fb, gbuf, state) if stateful else (new_fb, gbuf)
 
@@ -438,16 +441,49 @@ class RenderingContext:
     def rmse_vs(self, ref_hdr: np.ndarray) -> float:
         return float(rmse(self.fb.composited, jnp.asarray(ref_hdr)))
 
-    def dump_speed_stats(self) -> dict:
-        """Per-stage stats (RendererInterface::dump_speed_stats analog)."""
+    def dump_speed_stats(self, detailed: bool = False) -> dict:
+        """Per-stage stats (PathTracer::dump_speed_stats,
+        pathtracer_impl.h:342-350).
+
+        The reference emits per-kernel host timers (primary/path/shadow RT,
+        path/shadow shade); a whole pass here is ONE fused XLA computation,
+        so the per-stage split comes from the device profiler instead:
+        `detailed=True` captures one traced pass and buckets device op time
+        into rt / shadow_rt / shade (everything else) — the same three
+        stage families the reference reports.
+        """
         times = self.stats.get("pass_times", [])
         if not times:
             return {}
         steady = times[1:] if len(times) > 1 else times
-        n_rays = self.res_x * self.res_y  # primary rays / pass lower bound
-        return {
+        out = {
             "passes": len(times),
             "mean_pass_ms": 1e3 * float(np.mean(steady)),
             "first_pass_ms": 1e3 * times[0],
-            "primary_rays_per_s": n_rays / float(np.mean(steady)),
         }
+        rays = self.gbuffer.get("rays") if self.gbuffer else None
+        if rays is not None:
+            out["rays_per_pass"] = float(rays)
+            out["rays_per_s"] = float(rays) / float(np.mean(steady))
+        else:
+            out["primary_rays_per_s"] = (
+                self.res_x * self.res_y / float(np.mean(steady)))
+        if detailed:
+            import tempfile
+
+            from fermat_tpu.utils.profiling import op_breakdown
+
+            with tempfile.TemporaryDirectory() as td:
+                with jax.profiler.trace(td):
+                    self.render(1)
+                stages = {"rt_ms": 0.0, "shadow_rt_ms": 0.0, "shade_ms": 0.0}
+                for name, ms, _cnt in op_breakdown(td, top=10_000):
+                    low = name.lower()
+                    if "any" in low and ("impl" in low or "trace" in low):
+                        stages["shadow_rt_ms"] += ms
+                    elif "trace" in low or "closest" in low or "_impl" in low:
+                        stages["rt_ms"] += ms
+                    elif "fusion" in low or "reduce" in low or "copy" in low:
+                        stages["shade_ms"] += ms
+                out.update(stages)
+        return out

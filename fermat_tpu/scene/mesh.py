@@ -292,6 +292,64 @@ class MeshView(NamedTuple):
 
         return gather_rows(self.packed_rows(), tri)[:, 28]
 
+    def shade_rows(self) -> Array:
+        """(T, 52) fully-joined shading table: packed_rows (29 cols —
+        geometry, corner normals/uvs, mat_id, lod base) ++ the material row
+        pre-gathered per TRIANGLE (19 float cols + 4 texture-slot ids).
+
+        A hit shade becomes ONE row fetch instead of three separate
+        fetches keyed by tri/mat_id/tri (measured 3.4 + 2.3 + 1.5 ms/bounce
+        at 512^2 — PERF_ATTRIB.md "Remaining hot spots"). The (M -> T)
+        material join is loop-invariant, so XLA hoists it out of the
+        bounce fori_loop; the per-bounce cost is the single 52-col fetch.
+        """
+        m = self.materials
+        maps = jnp.stack(
+            [m.diffuse_map, m.specular_map, m.emissive_map, m.bump_map],
+            axis=1,
+        ).astype(jnp.float32)
+        mfull = jnp.concatenate([m.packed_rows(), maps], axis=1)
+        return jnp.concatenate(
+            [self.packed_rows(), mfull[self.material_id]], axis=1
+        )
+
+    def shade_fetch(self, tri: Array, u: Array, v: Array):
+        """One-fetch differential geometry + material lanes at a hit.
+
+        Returns (pos, gn, sn, uv (N,2), mat_id, lod_base,
+        MaterialTable-of-lanes) — the fused equivalent of
+        interpolate() + materials.gather() + fetch_lod_base().
+        """
+        from fermat_tpu.ops.gather import gather_rows
+
+        r = gather_rows(self.shade_rows(), tri)
+        vec = lambda c: Vec3(r[:, c], r[:, c + 1], r[:, c + 2])
+        p0, e1, e2, gn = vec(0), vec(3), vec(6), vec(9)
+        n0, n1, n2 = vec(12), vec(15), vec(18)
+        pos = p0 + e1 * u + e2 * v
+        w = 1.0 - u - v
+        sn = normalize(n0 * w + n1 * u + n2 * v)
+        uv = (r[:, 21:23] * w[:, None] + r[:, 23:25] * u[:, None]
+              + r[:, 25:27] * v[:, None])
+        mat_id = jnp.round(r[:, 27]).astype(jnp.int32)
+        lod_base = r[:, 28]
+        mats = MaterialTable(
+            diffuse=vec(29),
+            specular=vec(32),
+            emissive=vec(35),
+            diffuse_trans=vec(38),
+            reflectivity=vec(41),
+            roughness=r[:, 44],
+            ior=r[:, 45],
+            opacity=r[:, 46],
+            flags=jnp.round(r[:, 47]).astype(jnp.int32),
+            diffuse_map=jnp.round(r[:, 48]).astype(jnp.int32),
+            specular_map=jnp.round(r[:, 49]).astype(jnp.int32),
+            emissive_map=jnp.round(r[:, 50]).astype(jnp.int32),
+            bump_map=jnp.round(r[:, 51]).astype(jnp.int32),
+        )
+        return pos, gn, sn, uv, mat_id, lod_base, mats
+
     def interpolate(self, tri: Array, u: Array, v: Array):
         """Differential geometry at hit (tri, u, v) — setup_differential_geometry
         (src/vertex.h:69-115, src/mesh_utils.h) analog.

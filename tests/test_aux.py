@@ -110,3 +110,22 @@ class TestInverseRendering:
         err0 = float(jnp.mean(jnp.abs(wrong.x - true_diffuse)))
         err1 = float(jnp.mean(jnp.abs(diffuse.x - true_diffuse)))
         assert err1 < err0
+
+
+class TestSpeedStats:
+    def test_dump_speed_stats_rays_and_stages(self):
+        """dump_speed_stats reports the true traced-ray rate and, with
+        detailed=True, the per-stage device breakdown (the reference's
+        per-kernel timer emit, pathtracer_impl.h:342-350)."""
+        ctx = RenderingContext.create(
+            cornell_box(), cornell_camera(), RES, RES, renderer="pt",
+            max_path_length=2,
+        )
+        ctx.render(2)
+        s = ctx.dump_speed_stats()
+        assert s["passes"] == 2
+        assert s["rays_per_pass"] > RES * RES  # primary + NEE shadow rays
+        assert s["rays_per_s"] > 0
+        d = ctx.dump_speed_stats(detailed=True)
+        assert set(("rt_ms", "shadow_rt_ms", "shade_ms")) <= set(d)
+        assert d["rt_ms"] + d["shadow_rt_ms"] + d["shade_ms"] > 0

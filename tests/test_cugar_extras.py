@@ -480,3 +480,41 @@ class TestMiscLoaders:
 
         with pytest.raises(ValueError, match="assimp"):
             load_mesh_any("model.fbx")
+
+
+class TestKdTree:
+    """Exact kNN vs numpy brute force (cugar/kd analog)."""
+
+    def test_knn_matches_brute(self):
+        from fermat_tpu.accel.kdtree import build_kdtree, knn
+
+        r = np.random.default_rng(17)
+        pts = r.random((3000, 3)).astype(np.float32)
+        tree = build_kdtree(pts)
+        nq = 256
+        q = r.random((nq, 3)).astype(np.float32)
+        k = 4
+        d2, ids = knn(tree, jnp.asarray(q[:, 0]), jnp.asarray(q[:, 1]),
+                      jnp.asarray(q[:, 2]), k=k)
+        d2 = np.asarray(d2)
+        ids = np.asarray(ids)
+        # brute force reference
+        diff = q[:, None, :] - pts[None]
+        bd = (diff ** 2).sum(-1)
+        border = np.argsort(bd, axis=1)[:, :k]
+        bref = np.take_along_axis(bd, border, axis=1)
+        np.testing.assert_allclose(d2, bref, rtol=1e-4, atol=1e-6)
+        # ids match up to equal-distance ties
+        same = (ids == border).mean()
+        assert same > 0.99, same
+
+    def test_knn_small_cloud(self):
+        from fermat_tpu.accel.kdtree import build_kdtree, knn
+
+        pts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        tree = build_kdtree(pts)
+        d2, ids = knn(tree, jnp.asarray([0.1]), jnp.asarray([0.0]),
+                      jnp.asarray([0.0]), k=4)
+        assert int(np.asarray(ids)[0, 0]) == 0
+        assert int(np.asarray(ids)[0, 3]) == -1  # only 3 points exist
+        assert np.asarray(d2)[0, 3] > 1e30

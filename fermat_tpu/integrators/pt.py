@@ -249,6 +249,9 @@ def render_pass(
     eps = opts.ray_eps
     # primary ray-cone spread angle ~ one pixel (pathtracer cone init)
     cone_spread = jnp.tan(view.camera.fov * 0.5) * 2.0 / res_x
+    # hoist the 52-col geometry+material join out of the bounce loop
+    # (XLA keeps it inside fori_loops otherwise; see MeshView.shade_fetch)
+    shade_tab = view.mesh.shade_rows()
 
     class Carry(NamedTuple):
         o: Vec3
@@ -337,7 +340,7 @@ def render_pass(
         # table lookup (PERF_ATTRIB "Remaining hot spots": the three
         # separate fetches cost 3.4 + 2.3 + 1.5 ms/bounce at 512^2)
         pos, gn, sn, uv, mat_id, lod_base, mats = view.mesh.shade_fetch(
-            tri_c, hit.u, hit.v
+            tri_c, hit.u, hit.v, table=shade_tab
         )
         wi = -c.d  # towards the previous vertex
 

@@ -142,8 +142,9 @@ def _group_near_phase(
     return jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]
 
 
-def _stage_cluster(tri_hbm, tri_vmem, sem, c):
-    """DMA cluster c's (16, 128) triangle rectangle HBM -> VMEM.
+def _cluster_dma(tri_hbm, tri_vmem, sem, c):
+    """The (16, 128) HBM -> VMEM cluster copy descriptor (start/wait at the
+    double-buffer schedule points).
 
     Two hardware constraints learned the hard way (interpret mode accepts
     all of these; the chip does not):
@@ -153,14 +154,12 @@ def _stage_cluster(tri_hbm, tri_vmem, sem, c):
         silently-corrupt copies;
       * the copy extent must be whole (8, 128) tiles — a (10, 128) copy
         crashed the TPU worker, hence the 16-row padded layout."""
-    cp = pltpu.make_async_copy(tri_hbm.at[c], tri_vmem, sem)
-    cp.start()
-    cp.wait()
+    return pltpu.make_async_copy(tri_hbm.at[c], tri_vmem, sem)
 
 
-def _row(tri_vmem, comp: int, r: int):
-    del r  # single-cluster staging
-    return tri_vmem[comp, :].reshape(1, CLUSTER)
+def _row(tri_vmem, slot, comp: int):
+    """One component row of the staged cluster in buffer `slot`."""
+    return tri_vmem[slot, comp, :].reshape(1, CLUSTER)
 
 
 def _closest_kernel(
@@ -186,19 +185,41 @@ def _closest_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, gp), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (blk, CLUSTER), 1)
 
-    def cluster_body(i, carry):
-        near, t_best, id_best, u_best, v_best = carry
+    # Double-buffered near-ordered visiting (guide: Patterns/Double
+    # Buffering, adapted to a DYNAMIC argmin-driven visit sequence): each
+    # iteration schedules the NEXT cluster's DMA into the other buffer
+    # before waiting on the current one, hiding the per-visit copy latency
+    # that serializes the single-buffer loop. The next-visit decision uses
+    # the pre-visit t_best bound — conservative (at most one extra visit),
+    # never skips a needed cluster.
+    def dma(slot, g):
+        return _cluster_dma(tri_hbm, tri_vmem.at[slot], sem.at[slot], g)
+
+    def pick(near, t_best):
         mn, g = _argmin_row(near)
         near = jnp.where(lane == g, _BIG, near)  # mark visited
-        # front-to-back early-out: once the nearest unvisited cluster lies
-        # beyond every ray's current best hit, remaining iterations skip
-        # the DMA + intersection work entirely (argmin bookkeeping only)
         do = mn < jnp.max(t_best)
+        return near, g, do
+
+    near_row, g0, do0 = pick(near_row, tmax0)
+
+    @pl.when(do0)
+    def _():
+        dma(0, g0).start()
+
+    def cluster_body(i, carry):
+        near, g_cur, do_cur, t_best, id_best, u_best, v_best = carry
+        slot = jax.lax.rem(i, 2)
+        near, g_nxt, do_nxt = pick(near, t_best)
+
+        @pl.when(do_nxt)
+        def _():
+            dma(1 - slot, g_nxt).start()
 
         def work(cr):
             t_best, id_best, u_best, v_best = cr
-            _stage_cluster(tri_hbm, tri_vmem, sem, g)
-            tri = tuple(_row(tri_vmem, c, 0) for c in range(9))
+            dma(slot, g_cur).wait()
+            tri = tuple(_row(tri_vmem, slot, c) for c in range(9))
             tt, uu, vv, ok = _mt_tile(
                 ox, oy, oz, dx, dy, dz, tmin, t_best, tri
             )
@@ -208,7 +229,7 @@ def _closest_kernel(
             cand = jnp.where(tt == t_new, col, CLUSTER)
             kmin = jnp.min(cand, axis=1, keepdims=True)
             onehot = col == kmin
-            ids = _row(tri_vmem, 9, 0)
+            ids = _row(tri_vmem, slot, 9)
             id_new = jnp.sum(jnp.where(onehot, ids, 0.0), axis=1,
                              keepdims=True)
             u_new = jnp.sum(jnp.where(onehot, uu, 0.0), axis=1,
@@ -222,18 +243,20 @@ def _closest_kernel(
             return t_best, id_best, u_best, v_best
 
         t_best, id_best, u_best, v_best = jax.lax.cond(
-            do, work, lambda cr: cr, (t_best, id_best, u_best, v_best)
+            do_cur, work, lambda cr: cr, (t_best, id_best, u_best, v_best)
         )
-        return near, t_best, id_best, u_best, v_best
+        return near, g_nxt, do_nxt, t_best, id_best, u_best, v_best
 
     init = (
         near_row,
+        g0,
+        do0,
         tmax0,
         jnp.full((blk, 1), -1.0, jnp.float32),
         jnp.zeros((blk, 1), jnp.float32),
         jnp.zeros((blk, 1), jnp.float32),
     )
-    _near, t_best, id_best, u_best, v_best = jax.lax.fori_loop(
+    (_near, _g, _do, t_best, id_best, u_best, v_best) = jax.lax.fori_loop(
         0, n_units, cluster_body, init
     )
     t_out[:] = t_best
@@ -264,37 +287,55 @@ def _any_kernel(
     gp = near_row.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, gp), 1)
 
-    # occlusion is carried as f32 0/1 — Mosaic cannot legalize (BLK, 1) i1
-    # vectors as loop carries (vpad'ed i1 layouts). Near-ordered visiting
-    # maximizes the chance of occluding every lane early; iterations after
-    # that point skip all work.
-    def cluster_body(i, carry):
-        near, occ = carry
+    # occlusion carried as f32 0/1 (Mosaic cannot legalize (BLK, 1) i1
+    # vectors as loop carries). Same double-buffered near-ordered schedule
+    # as the closest kernel; the pending bound shrinks as lanes occlude.
+    def dma(slot, g):
+        return _cluster_dma(tri_hbm, tri_vmem.at[slot], sem.at[slot], g)
+
+    def pick(near, occ):
         mn, g = _argmin_row(near)
         near = jnp.where(lane == g, _BIG, near)
         pend_max = jnp.max(jnp.where(occ > 0.0, -1.0, tmax0))
         do = mn < pend_max
+        return near, g, do
+
+    occ0 = jnp.zeros((blk, 1), jnp.float32)
+    near_row, g0, do0 = pick(near_row, occ0)
+
+    @pl.when(do0)
+    def _():
+        dma(0, g0).start()
+
+    def cluster_body(i, carry):
+        near, g_cur, do_cur, occ = carry
+        slot = jax.lax.rem(i, 2)
+        near, g_nxt, do_nxt = pick(near, occ)
+
+        @pl.when(do_nxt)
+        def _():
+            dma(1 - slot, g_nxt).start()
 
         def work(occ):
-            _stage_cluster(tri_hbm, tri_vmem, sem, g)
-            tri = tuple(_row(tri_vmem, c, 0) for c in range(9))
+            dma(slot, g_cur).wait()
+            tri = tuple(_row(tri_vmem, slot, c) for c in range(9))
             _tt, _uu, _vv, ok = _mt_tile(
                 ox, oy, oz, dx, dy, dz, tmin, tmax0, tri
             )
             # exclude padding (oid < 0) — degenerate pads never pass
             # det, but keep the guard for safety
-            ok = ok & (_row(tri_vmem, 9, 0) >= 0.0)
+            ok = ok & (_row(tri_vmem, slot, 9) >= 0.0)
             hit_f = jnp.max(
                 jnp.where(ok, 1.0, 0.0), axis=1, keepdims=True
             )
             occ = jnp.maximum(occ, hit_f)
             return occ
 
-        occ = jax.lax.cond(do, work, lambda o: o, occ)
-        return near, occ
+        occ = jax.lax.cond(do_cur, work, lambda o: o, occ)
+        return near, g_nxt, do_nxt, occ
 
-    _near, occ = jax.lax.fori_loop(
-        0, n_units, cluster_body, (near_row, jnp.zeros((blk, 1), jnp.float32))
+    _near, _g, _do, occ = jax.lax.fori_loop(
+        0, n_units, cluster_body, (near_row, g0, do0, occ0)
     )
     occ_out[:] = occ > 0.0
 
@@ -335,8 +376,8 @@ def _closest_impl(tri, boxes, o, d, tmin, tmax, block: int):
         in_specs=[ray_spec] * 8 + [hbm_spec] + [box_spec] * 6,
         out_specs=[out_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM((16, CLUSTER), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 16, CLUSTER), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
@@ -370,8 +411,8 @@ def _any_impl(tri, boxes, o, d, tmin, tmax, block: int):
         in_specs=[ray_spec] * 8 + [hbm_spec] + [box_spec] * 6,
         out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((16, CLUSTER), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 16, CLUSTER), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),

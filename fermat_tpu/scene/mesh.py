@@ -313,16 +313,19 @@ class MeshView(NamedTuple):
             [self.packed_rows(), mfull[self.material_id]], axis=1
         )
 
-    def shade_fetch(self, tri: Array, u: Array, v: Array):
+    def shade_fetch(self, tri: Array, u: Array, v: Array, table=None):
         """One-fetch differential geometry + material lanes at a hit.
 
         Returns (pos, gn, sn, uv (N,2), mat_id, lod_base,
         MaterialTable-of-lanes) — the fused equivalent of
-        interpolate() + materials.gather() + fetch_lod_base().
+        interpolate() + materials.gather() + fetch_lod_base(). Pass the
+        precomputed `table` (shade_rows()) from OUTSIDE any bounce loop:
+        XLA does not hoist the (M -> T) material join out of fori_loops
+        (measured ~3.6 ms/bounce of rebuild at 512^2, PERF_ATTRIB).
         """
         from fermat_tpu.ops.gather import gather_rows
 
-        r = gather_rows(self.shade_rows(), tri)
+        r = gather_rows(self.shade_rows() if table is None else table, tri)
         vec = lambda c: Vec3(r[:, c], r[:, c + 1], r[:, c + 2])
         p0, e1, e2, gn = vec(0), vec(3), vec(6), vec(9)
         n0, n1, n2 = vec(12), vec(15), vec(18)

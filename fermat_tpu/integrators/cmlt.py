@@ -83,7 +83,11 @@ class CMLTOptions(NamedTuple):
     swap_frequency: int = 3  # every Nth step proposes a chart swap
     large_step_prob: float = 0.3
     small_step_size: float = 1.0 / 64.0
-    n_seed_rounds: int = 2
+    # brightness b is the MH normalization: it multiplies the whole image,
+    # so its MC error is a uniform image bias (measured: b 13% low at 2
+    # rounds on glossy cornell -> image uniformly 12% dim). The (s=0,t=2)
+    # visible-emitter chart is heavy-tailed and needs the extra samples.
+    n_seed_rounds: int = 8
     lobes: tuple = (True, True, True, True)
     ray_eps: float = 1.0e-4
     tracer: str = "auto"
@@ -485,7 +489,7 @@ def init_state(view: SceneView, opts: CMLTOptions, res_x: int, res_y: int,
     DL, DE = _dims_l(K), _dims_e(K)
     closest, anyhit = _pick_tracers(view, PTOptions(tracer=opts.tracer))
     cam = CameraSampler.create(view.camera, res_x / res_y)
-    key0 = _U32(seed * 2654435761 + 777)
+    key0 = _U32((seed * 2654435761 + 777) & 0xFFFFFFFF)
     lane = jnp.arange(n, dtype=_U32)
 
     best = dict(
@@ -497,8 +501,19 @@ def init_state(view: SceneView, opts: CMLTOptions, res_x: int, res_y: int,
     total = jnp.zeros(())
     charts = [(s_, t_) for t_ in range(2, K + 2) for s_ in range(0, K + 2 - t_)]
 
+    # GLOBAL luminance-proportional seeding (cmlt.cu seeding follows
+    # pssmlt.cu:326-345: one CDF over ALL candidate (path, chart) pairs,
+    # inverted n times). A per-lane reservoir — the earlier scheme — gives
+    # every lane one chain regardless of how bright its candidates are;
+    # since mutation-phase chains are FROZEN in their chart, the chart
+    # populations never converge to their brightness shares b_k/b and the
+    # estimator skews by path class (measured on glossy cornell: charts
+    # carrying multi-bounce white light under-populated -> blue channel
+    # -33%). Candidate coordinates are re-derived from their counter
+    # hashes at pick time so only the (R*C*n,) luminances are stored.
+    lum_parts = []
     for r in range(opts.n_seed_rounds):
-        def mat(d, tag):
+        def mat(d, tag, r=r):
             ctr = (jax.lax.broadcasted_iota(_U32, (n, d), 0) * _U32(d)
                    + jax.lax.broadcasted_iota(_U32, (n, d), 1))
             return uniform_from_bits(
@@ -507,29 +522,43 @@ def init_state(view: SceneView, opts: CMLTOptions, res_x: int, res_y: int,
         u_l = mat(DL, 1)
         u_e = mat(DE, 2)
         rec, _nr = _walk(view, opts, closest, cam, u_l, u_e)
-        px = jnp.clip((u_e[:, 0] * res_x).astype(jnp.int32), 0, res_x - 1)
-        py = jnp.clip((u_e[:, 1] * res_y).astype(jnp.int32), 0, res_y - 1)
-        pixel = (py * res_x + px).astype(jnp.uint32)
-        # enumerate every chart on the shared walk; reservoir-pick one
-        acc = jnp.maximum(best["lum"], 0.0)
         for ci, (s_, t_) in enumerate(charts):
             F, _nr2 = _connect(view, opts, anyhit, rec, s_, t_, n)
             lum = _lum(F.x, F.y, F.z)
             total = total + jnp.mean(lum)
-            u_r = uniform_from_bits(
-                hash_combine(key0 ^ _U32(0xABCD01),
-                             hash_combine(_U32(r * 64 + ci), lane)))
-            acc_new = acc + lum
-            take = (best["lum"] < 0.0) | (u_r * acc_new < lum)
-            acc = acc_new
-            best["u_l"] = jnp.where(take[:, None], u_l, best["u_l"])
-            best["u_e"] = jnp.where(take[:, None], u_e, best["u_e"])
-            best["s"] = jnp.where(take, s_, best["s"])
-            best["t"] = jnp.where(take, t_, best["t"])
-            best["lum"] = jnp.where(take, lum, jnp.maximum(best["lum"], 0.0))
-            best["contrib"] = jnp.where(
-                take[:, None], jnp.stack([F.x, F.y, F.z], -1), best["contrib"])
-            best["pixel"] = jnp.where(take, pixel, best["pixel"])
+            lum_parts.append(lum)
+
+    lums = jnp.concatenate(lum_parts)  # (R * C * n,)
+    c = len(charts)
+    cdf = jnp.cumsum(lums)
+    tot = jnp.maximum(cdf[-1], 1e-20)
+    u_pick = ((jnp.arange(n, dtype=jnp.float32)
+               + uniform_from_bits(hash_combine(key0 ^ _U32(0x515CA), lane)))
+              / n) * tot
+    idx = jnp.clip(jnp.searchsorted(cdf, u_pick, side="left"),
+                   0, lums.shape[0] - 1)
+    r_idx = (idx // (c * n)).astype(jnp.uint32)
+    ci_idx = ((idx // n) % c).astype(jnp.int32)
+    lane_idx = (idx % n).astype(jnp.uint32)
+
+    def remat(d, tag):
+        ctr = (lane_idx[:, None] * _U32(d)
+               + jax.lax.broadcasted_iota(_U32, (n, d), 1))
+        seed_r = hash_combine(key0, r_idx * _U32(7) + _U32(tag))
+        return uniform_from_bits(hash_combine(seed_r[:, None], ctr))
+
+    u_l_pick = remat(DL, 1)
+    u_e_pick = remat(DE, 2)
+    s_pick = jnp.asarray([s_ for s_, _ in charts], jnp.int32)[ci_idx]
+    t_pick = jnp.asarray([t_ for _, t_ in charts], jnp.int32)[ci_idx]
+    contrib, pixel, _rec, _nr = _eval_chart(
+        view, opts, closest, anyhit, cam, res_x, res_y,
+        u_l_pick, u_e_pick, s_pick, t_pick)
+    best = dict(
+        u_l=u_l_pick, u_e=u_e_pick, s=s_pick, t=t_pick,
+        lum=_lum(contrib[:, 0], contrib[:, 1], contrib[:, 2]),
+        contrib=contrib, pixel=pixel,
+    )
 
     brightness = total / opts.n_seed_rounds
     return CMLTState(
@@ -740,13 +769,30 @@ def step(view: SceneView, opts: CMLTOptions, res_x: int, res_y: int,
     else:
         do_swap = jnp.bool_(False)
 
+    K = opts.max_path_length
+    charts = [(s_, t_) for t_ in range(2, K + 2) for s_ in range(0, K + 2 - t_)]
+    chart_s = jnp.asarray([c_[0] for c_ in charts], jnp.int32)
+    chart_t = jnp.asarray([c_[1] for c_ in charts], jnp.int32)
+
     def mutation_branch(carry):
         state, splat = carry
         u_l_p = _mutate(state.u_l, hash_combine(key, _U32(1)), opts)
         u_e_p = _mutate(state.u_e, hash_combine(key, _U32(2)), opts)
+        # chart-resampling large steps: with prob large_step_prob a lane
+        # also proposes a uniformly random chart (a symmetric independence
+        # move), restoring ergodicity over the chart dimension — without
+        # it chains are frozen in their seeded chart between (rare,
+        # +-1-only) swaps and the per-chart populations cannot adapt
+        big = uniform_from_bits(
+            hash_combine(key ^ _U32(0x77AA11), lane)) < opts.large_step_prob
+        ci = jnp.minimum(
+            (uniform_from_bits(hash_combine(key ^ _U32(0x33CC55), lane))
+             * len(charts)).astype(jnp.int32), len(charts) - 1)
+        s_p = jnp.where(big, chart_s[ci], state.s)
+        t_p = jnp.where(big, chart_t[ci], state.t)
         contrib_p, pixel_p, _rec, nr = _eval_chart(
             view, opts, closest, anyhit, cam, res_x, res_y,
-            u_l_p, u_e_p, state.s, state.t)
+            u_l_p, u_e_p, s_p, t_p)
         lum_p = _lum(contrib_p[:, 0], contrib_p[:, 1], contrib_p[:, 2])
         a = jnp.clip(lum_p / jnp.maximum(state.lum, 1e-12), 0.0, 1.0)
         a = jnp.where(state.lum <= 0.0, 1.0, a)
@@ -756,6 +802,8 @@ def step(view: SceneView, opts: CMLTOptions, res_x: int, res_y: int,
         state = state._replace(
             u_l=jnp.where(acc[:, None], u_l_p, state.u_l),
             u_e=jnp.where(acc[:, None], u_e_p, state.u_e),
+            s=jnp.where(acc, s_p, state.s),
+            t=jnp.where(acc, t_p, state.t),
             lum=jnp.where(acc, lum_p, state.lum),
             contrib=jnp.where(acc[:, None], contrib_p, state.contrib),
             pixel=jnp.where(acc, pixel_p, state.pixel),

@@ -157,7 +157,7 @@ def init_state(
     image brightness estimate."""
     d = _dims(opts)
     k = _n_slots(opts)
-    key0 = _U32(seed * 2654435761 + 12345)
+    key0 = _U32((seed * 2654435761 + 12345) & 0xFFFFFFFF)
     best_u = None
     best_lum = jnp.full(n, -1.0)
     best_contrib = jnp.zeros((n, k, 3))

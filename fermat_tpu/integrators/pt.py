@@ -114,26 +114,45 @@ def _trace_mode(n_triangles: int, opts: PTOptions, has_clusters: bool) -> str:
     return mode
 
 
+def _detach_rays(o, d):
+    """Traversal is non-differentiable by design (module docstring): its
+    while_loops reject reverse-mode AD outright, so ANY symbolic
+    dependence of ray origins/directions on differentiated leaves — even
+    zero-tangent ones introduced by fused tables joining geometry and
+    material columns — must be severed at the tracer boundary."""
+    sg = jax.lax.stop_gradient
+    return (Vec3(sg(o.x), sg(o.y), sg(o.z)),
+            Vec3(sg(d.x), sg(d.y), sg(d.z)))
+
+
 def _make_anyhit(mesh, bvh, clusters, mode: str):
     if mode == "cluster":
         from fermat_tpu.ops.pallas_cluster_trace import trace_any_cluster
 
-        return lambda o, d, tmin, tmax, active: trace_any_cluster(
-            clusters, o, d, tmin, tmax, active
-        )
+        def f(o, d, tmin, tmax, active):
+            o, d = _detach_rays(o, d)
+            return trace_any_cluster(clusters, o, d, tmin, tmax, active)
+
+        return f
     if mode == "pallas":
         from fermat_tpu.ops.pallas_trace import trace_any_pallas
 
-        return lambda o, d, tmin, tmax, active: trace_any_pallas(
-            mesh, o, d, tmin, tmax, active
-        )
+        def f(o, d, tmin, tmax, active):
+            o, d = _detach_rays(o, d)
+            return trace_any_pallas(mesh, o, d, tmin, tmax, active)
+
+        return f
     if mode == "brute":
-        return lambda o, d, tmin, tmax, active: trace_any_brute(
-            mesh, o, d, tmin, tmax, active
-        )
-    return lambda o, d, tmin, tmax, active: trace_any(
-        bvh, mesh, o, d, tmin, tmax, active
-    )
+        def f(o, d, tmin, tmax, active):
+            o, d = _detach_rays(o, d)
+            return trace_any_brute(mesh, o, d, tmin, tmax, active)
+
+        return f
+    def f(o, d, tmin, tmax, active):
+        o, d = _detach_rays(o, d)
+        return trace_any(bvh, mesh, o, d, tmin, tmax, active)
+
+    return f
 
 
 def _pick_tracers(view: SceneView, opts: PTOptions):
@@ -147,23 +166,23 @@ def _pick_tracers(view: SceneView, opts: PTOptions):
     if mode == "cluster":
         from fermat_tpu.ops.pallas_cluster_trace import trace_closest_cluster
 
-        closest = lambda o, d, tmin, tmax, active: trace_closest_cluster(
-            view.clusters, o, d, tmin, tmax, active
-        )
+        def closest(o, d, tmin, tmax, active):
+            o, d = _detach_rays(o, d)
+            return trace_closest_cluster(view.clusters, o, d, tmin, tmax, active)
     elif mode == "pallas":
         from fermat_tpu.ops.pallas_trace import trace_closest_pallas
 
-        closest = lambda o, d, tmin, tmax, active: trace_closest_pallas(
-            view.mesh, o, d, tmin, tmax, active
-        )
+        def closest(o, d, tmin, tmax, active):
+            o, d = _detach_rays(o, d)
+            return trace_closest_pallas(view.mesh, o, d, tmin, tmax, active)
     elif mode == "brute":
-        closest = lambda o, d, tmin, tmax, active: trace_closest_brute(
-            view.mesh, o, d, tmin, tmax, active
-        )
+        def closest(o, d, tmin, tmax, active):
+            o, d = _detach_rays(o, d)
+            return trace_closest_brute(view.mesh, o, d, tmin, tmax, active)
     else:
-        closest = lambda o, d, tmin, tmax, active: trace_closest(
-            view.bvh, view.mesh, o, d, tmin, tmax, active
-        )
+        def closest(o, d, tmin, tmax, active):
+            o, d = _detach_rays(o, d)
+            return trace_closest(view.bvh, view.mesh, o, d, tmin, tmax, active)
     anyhit = _make_anyhit(view.mesh, view.bvh, view.clusters, mode)
     return closest, anyhit
 

@@ -172,6 +172,9 @@ def _trace_impl(tris, o, d, tmin, tmax, block: int):
         grid=(g,),
         in_specs=[ray_spec] * 8 + [tri_spec] * 9,
         out_specs=[out_spec] * 4,
+        # larger ray blocks exceed the default 16 MiB scoped-vmem budget
+        # (v5e has far more VMEM); see ops/pallas_cluster_trace.py
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(*rays, *tris)
     flat = lambda a: a.reshape(n_pad)[:n]  # (N,1) -> (N,)
@@ -278,6 +281,9 @@ def _any_impl(tris, o, d, tmin, tmax, block: int):
         grid=(g,),
         in_specs=[ray_spec] * 8 + [tri_spec] * 9,
         out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0)),
+        # larger ray blocks exceed the default 16 MiB scoped-vmem budget
+        # (v5e has far more VMEM); see ops/pallas_cluster_trace.py
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(*rays, *tris)
     return occ.reshape(n_pad)[:n]

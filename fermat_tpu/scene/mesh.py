@@ -326,6 +326,14 @@ class MeshView(NamedTuple):
         from fermat_tpu.ops.gather import gather_rows
 
         r = gather_rows(self.shade_rows() if table is None else table, tri)
+        # detach the geometry/uv columns: the joined table would otherwise
+        # make hit positions symbolic functions of MATERIAL leaves (zero
+        # tangents, but tracers), dragging the next bounce's ray origins
+        # into the non-reverse-differentiable traversal while_loops.
+        # Traversal geometry is detached by design (module docstring).
+        r = jnp.concatenate(
+            [jax.lax.stop_gradient(r[:, :29]), r[:, 29:]], axis=1
+        )
         vec = lambda c: Vec3(r[:, c], r[:, c + 1], r[:, c + 2])
         p0, e1, e2, gn = vec(0), vec(3), vec(6), vec(9)
         n0, n1, n2 = vec(12), vec(15), vec(18)

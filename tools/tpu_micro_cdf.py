@@ -46,7 +46,9 @@ for name, fn in (("compare_sum", compare_sum), ("searchsorted", searchsorted),
     @jax.jit
     def batch(u):
         def body(i, acc):
-            return acc + fn(u + i * 0.0)[0]
+            # full-array sum: a [0] here lets XLA slice the
+            # computation away and time nothing
+            return acc + jnp.sum(fn(u + i * 0.0))
         return jax.lax.fori_loop(0, 100, body, jnp.int32(0))
     jax.block_until_ready(batch(u))
     t0 = time.perf_counter()

@@ -345,15 +345,48 @@ def render_pass(
         hit = closest(c.o, c.d, jnp.float32(eps), jnp.float32(3.0e38), c.alive)
         c = c._replace(rays=c.rays + jnp.sum(c.alive.astype(jnp.float32)))
         valid = c.alive & hit.hit_mask
-        # constant environment light: miss lanes pick up thr * env. No NEE
-        # strategy samples the env, so the weight is 1 (no MIS competition).
         missed = c.alive & ~hit.hit_mask
-        c = add_routed(
-            c,
-            Vec3(c.thr.x * view.env[0], c.thr.y * view.env[1], c.thr.z * view.env[2]),
-            missed,
-            c.channel,
-        )
+        if view.env_map is None:
+            # constant environment light: miss lanes pick up thr * env. No
+            # NEE strategy samples the env, so the weight is 1 (no MIS
+            # competition).
+            c = add_routed(
+                c,
+                Vec3(c.thr.x * view.env[0], c.thr.y * view.env[1],
+                     c.thr.z * view.env[2]),
+                missed,
+                c.channel,
+            )
+        else:
+            # textured infinite light (scene.envmap): miss lanes pick up
+            # the map radiance scaled by view.env, MIS-weighted against
+            # the env-NEE strategy at the PREVIOUS vertex (camera rays at
+            # the peeled bounce have no competing strategy -> weight 1)
+            e_l = view.env_map.eval(c.d)
+            e_l = Vec3(e_l.x * view.env[0], e_l.y * view.env[1],
+                       e_l.z * view.env[2])
+            if first:
+                w_env = jnp.ones(n, jnp.float32)
+            else:
+                is_direct = jnp.asarray(b, jnp.int32) == 1
+                pdf_e = jax.lax.stop_gradient(view.env_map.pdf(c.d))
+                w_pow = jax.lax.stop_gradient(
+                    power_heuristic(c.prev_pdf, pdf_e))
+                nee_mask = jnp.where(
+                    is_direct, opts.direct_lighting_nee,
+                    opts.indirect_lighting_nee)
+                w_env = jnp.where(nee_mask, w_pow, 1.0)
+                show_mask = jnp.where(
+                    is_direct, opts.direct_lighting_bsdf,
+                    opts.indirect_lighting_bsdf)
+                w_env = w_env * show_mask.astype(jnp.float32)
+            c = add_routed(
+                c,
+                Vec3(c.thr.x * e_l.x * w_env, c.thr.y * e_l.y * w_env,
+                     c.thr.z * e_l.z * w_env),
+                missed,
+                c.channel,
+            )
         tri_c = jnp.maximum(hit.tri, 0)
         # fused one-row shade fetch: geometry + material + lod in a single
         # table lookup (PERF_ATTRIB "Remaining hot spots": the three
@@ -482,8 +515,13 @@ def render_pass(
             c = add_routed(c, contrib, valid, c.channel)
 
         # ---- NEE: mesh lights (shade_vertex direct lighting) ----
+        # env NEE consumes one extra aligned sample_2d pair per bounce
+        # (sample_2d pairs dims by d >> 1, so the pair must start on an
+        # even offset that no other strategy's pair shares)
+        stride = (opts.dims_per_bounce if view.env_map is None
+                  else max(opts.dims_per_bounce, 10))
         base_dim = jnp.uint32(2) + jnp.asarray(b, jnp.uint32) * jnp.uint32(
-            opts.dims_per_bounce
+            stride
         )
         nee_on = opts.direct_lighting_nee if first else opts.indirect_lighting_nee
         if nee_on:
@@ -574,6 +612,63 @@ def render_pass(
             else:
                 contrib = Vec3((fd.x + fg.x) * wX, (fd.y + fg.y) * wY, (fd.z + fg.z) * wZ)
                 c = add_routed(c, contrib, lit, c.channel)
+
+        # ---- NEE: environment map (infinite light, importance-sampled
+        # from the luminance*sin(theta) CDF; MIS vs the BSDF strategy
+        # which can also reach the env on a miss) ----
+        if view.env_map is not None and nee_on:
+            ue0, ue1 = seq.sample_2d(c.pix_u, base_dim + jnp.uint32(8))
+            wo_e, pdf_e, le_e = view.env_map.sample(ue0, ue1)
+            pdf_e = jax.lax.stop_gradient(pdf_e)
+            le_e = Vec3(le_e.x * view.env[0], le_e.y * view.env[1],
+                        le_e.z * view.env[2])
+            wo_le = to_local(wo_e, t_b, b_b, sn_f)
+            fde, fge, bpdf_e = f_split(
+                params, wi_loc, wo_le, opts.lobes, opts.clearcoat,
+                opts.glossy_model)
+            bsdf_on = (opts.direct_lighting_bsdf if first
+                       else opts.indirect_lighting_bsdf)
+            w_mis_e = (
+                jax.lax.stop_gradient(power_heuristic(pdf_e, bpdf_e))
+                if bsdf_on else jnp.ones(n, jnp.float32)
+            )
+            cos_se = jnp.abs(wo_le.z)
+            able_e = (
+                valid
+                & (pdf_e > 1e-12)
+                & ((fde.x + fde.y + fde.z + fge.x + fge.y + fge.z) > 0.0)
+            )
+            so_e = _offset_origin(pos, gn, wo_e, eps)
+            occ_e = sh_anyhit(so_e, wo_e, jnp.float32(0.0),
+                              jnp.float32(3.0e38), able_e)
+            c = c._replace(rays=c.rays + jnp.sum(able_e.astype(jnp.float32)))
+            lit_e = able_e & ~occ_e
+            scale_e = cos_se * w_mis_e / jnp.maximum(pdf_e, 1e-12)
+            if opts.detach_nee:
+                scale_e = jax.lax.stop_gradient(scale_e)
+                fde = Vec3(*(jax.lax.stop_gradient(a) for a in fde))
+                fge = Vec3(*(jax.lax.stop_gradient(a) for a in fge))
+                le_e = Vec3(*(jax.lax.stop_gradient(a) for a in le_e))
+            wXe = c.thr.x * le_e.x * scale_e
+            wYe = c.thr.y * le_e.y * scale_e
+            wZe = c.thr.z * le_e.z * scale_e
+            if first:
+                c = c._replace(
+                    l_diffuse=Vec3(
+                        c.l_diffuse.x + jnp.where(lit_e, fde.x * wXe, 0.0),
+                        c.l_diffuse.y + jnp.where(lit_e, fde.y * wYe, 0.0),
+                        c.l_diffuse.z + jnp.where(lit_e, fde.z * wZe, 0.0),
+                    ),
+                    l_specular=Vec3(
+                        c.l_specular.x + jnp.where(lit_e, fge.x * wXe, 0.0),
+                        c.l_specular.y + jnp.where(lit_e, fge.y * wYe, 0.0),
+                        c.l_specular.z + jnp.where(lit_e, fge.z * wZe, 0.0),
+                    ),
+                )
+            else:
+                contrib = Vec3((fde.x + fge.x) * wXe, (fde.y + fge.y) * wYe,
+                               (fde.z + fge.z) * wZe)
+                c = add_routed(c, contrib, lit_e, c.channel)
 
         # ---- NEE: point lights (delta; lights.h Point) ----
         if view.point_lights.count > 0:

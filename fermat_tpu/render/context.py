@@ -269,11 +269,13 @@ class RenderingContext:
         texture_dir=None,
         env_radiance=(0.0, 0.0, 0.0),
         point_lights=(),
+        env_map=None,
         **renderer_options,
     ) -> "RenderingContext":
         view = SceneView.build(
             storage, camera, dir_lights, texture_dir=texture_dir,
             env_radiance=env_radiance, point_light_defs=point_lights,
+            env_map=env_map,
         )
         if "lobes" not in renderer_options and renderer in (
             "pt", "bpt", "psfpt", "ptrl", "mlt", "cmlt", "rpt"

@@ -111,16 +111,24 @@ class MeshStorage:
         nrm_off = self.normals.shape[0]
         uv_off = self.uvs.shape[0]
         tri_off = self.n_triangles
+        # an empty per-corner index array means "no attribute on this
+        # mesh"; once meshes are merged that shorthand must become
+        # explicit -1 rows or the row count diverges from n_triangles
+        def idx_rows(idx, n):
+            return idx if idx.shape[0] == n else np.full((n, 3), -1, np.int32)
+
         self.vertices = np.concatenate([self.vertices, other.vertices])
-        self.triangles = np.concatenate([self.triangles, other.triangles + vtx_off])
         self.normals = np.concatenate([self.normals, other.normals])
-        oni = other.normal_indices.copy()
+        oni = idx_rows(other.normal_indices, other.n_triangles).copy()
         oni[oni >= 0] += nrm_off
-        self.normal_indices = np.concatenate([self.normal_indices, oni])
+        self.normal_indices = np.concatenate(
+            [idx_rows(self.normal_indices, tri_off), oni])
         self.uvs = np.concatenate([self.uvs, other.uvs])
-        oui = other.uv_indices.copy()
+        oui = idx_rows(other.uv_indices, other.n_triangles).copy()
         oui[oui >= 0] += uv_off
-        self.uv_indices = np.concatenate([self.uv_indices, oui])
+        self.uv_indices = np.concatenate(
+            [idx_rows(self.uv_indices, tri_off), oui])
+        self.triangles = np.concatenate([self.triangles, other.triangles + vtx_off])
         self.material_ids = np.concatenate(
             [self.material_ids, other.material_ids + mat_off]
         )

@@ -20,6 +20,7 @@ import numpy as np
 
 from fermat_tpu.accel.bvh import BvhView, build_bvh_for_mesh
 from fermat_tpu.core.camera import Camera
+from fermat_tpu.scene.envmap import EnvMapView
 from fermat_tpu.scene.lights import DirectionalLightsView, MeshLightsView
 from fermat_tpu.scene.mesh import MeshStorage, MeshView
 from fermat_tpu.scene.textures import TextureAtlas
@@ -49,6 +50,9 @@ class SceneView(NamedTuple):
     # (direct, indirect) pair of ShadowSet or None when no material carries
     # the FLAG_SHADOW_*_IGNORE bits (the common case — zero overhead)
     shadow_sets: "object" = None
+    # textured infinite light (scene.envmap.EnvMapView) or None; when set,
+    # `env` acts as an RGB scale on the map's radiance
+    env_map: "object" = None
 
     @property
     def has_textures(self) -> bool:
@@ -65,6 +69,7 @@ class SceneView(NamedTuple):
         env_radiance=(0.0, 0.0, 0.0),
         point_light_defs=(),
         n_vpls: int = 256,
+        env_map=None,
     ) -> "SceneView":
         # resolve texture files referenced by materials (renderer.cu:784-882)
         images = []
@@ -153,9 +158,15 @@ class SceneView(NamedTuple):
         si = shadow_set(FLAG_SHADOW_INDIRECT_IGNORE)
         shadow_sets = (sd, si) if (sd is not None or si is not None) else None
 
+        # with a textured env map, `env` becomes an RGB scale on the map's
+        # radiance — a zero default would black it out, so promote to 1
+        if env_map is not None and tuple(env_radiance) == (0.0, 0.0, 0.0):
+            env_radiance = (1.0, 1.0, 1.0)
         return SceneView(
             mesh=mesh, bvh=bvh, lights=lights, dir_lights=dl, camera=camera,
             textures=atlas, env=jnp.asarray(env_radiance, jnp.float32),
             point_lights=PointLightsView.build(list(point_light_defs)),
             clusters=clusters, vpls=vpls, shadow_sets=shadow_sets,
+            env_map=(EnvMapView.build(env_map) if env_map is not None
+                     else None),
         )

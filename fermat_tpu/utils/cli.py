@@ -38,6 +38,13 @@ def _parse_value(v: str):
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "-cpu" in argv:
+        # force the CPU backend BEFORE any fermat_tpu import: module-level
+        # jnp constants materialize arrays at import time, which would
+        # initialize the auto-registered TPU platform
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     scene_path = None
     camera_path = None
     res = (512, 512)
@@ -90,6 +97,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             view_mode = True
         elif a == "-seed":
             i += 1; seed = int(argv[i])
+        elif a == "-cpu":
+            pass  # handled before imports at main() entry
         elif a == "-plugin":
             i += 1; plugins.append(argv[i])
         elif a == "-opt":
@@ -129,7 +138,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     ext = os.path.splitext(scene_path)[1].lower()
     dir_lights = ()
+    point_lights = ()
     env_radiance = (0.0, 0.0, 0.0)
+    env_map = None
     if ext == ".fa":
         loaded = load_fa(scene_path, strict=False)
         mesh = loaded.mesh
@@ -142,6 +153,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         mesh = pb.mesh
         camera = pb.camera
         env_radiance = pb.env_radiance
+        env_map = pb.env_map
+        dir_lights = tuple(pb.dir_lights)
+        point_lights = tuple(pb.point_lights)
         if res == (512, 512):
             res = pb.resolution
     else:
@@ -169,9 +183,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     ctx = RenderingContext.create(
         mesh, camera, res[0], res[1], renderer=renderer,
-        dir_lights=dir_lights, seed=seed,
+        dir_lights=dir_lights, point_lights=point_lights, seed=seed,
         texture_dir=os.path.dirname(os.path.abspath(scene_path)),
-        env_radiance=env_radiance, **opts,
+        env_radiance=env_radiance, env_map=env_map, **opts,
     )
 
     ref_img = read_image(ref_path) if ref_path else None

@@ -188,6 +188,27 @@ class TestEnvMapRendering:
         rel = np.abs(qa - qb) / np.maximum(qa, 0.05)
         assert rel.max() < 0.12, (qa, qb)
 
+    def test_env_scale_gradient_matches_fd(self):
+        """d(image)/d(env scale) flows through BOTH env strategies (miss
+        pickup and NEE radiance); sampling/pdf terms are detached, so the
+        estimator is linear in the scale and AD == FD to roundoff."""
+        view = self._furnace_view(0.5)
+
+        def loss(s):
+            v = view._replace(env=view.env * s)
+            from fermat_tpu.integrators.pt import PTOptions, render_pass
+
+            out = render_pass(v, PTOptions(max_path_length=2, rr=False),
+                              24, 24, jnp.uint32(0))
+            return jnp.mean(out.composited.stack())
+
+        g = jax.grad(loss)(jnp.float32(1.0))
+        eps = 0.2  # estimator is linear in s: large eps only kills roundoff
+        fd = (loss(jnp.float32(1.0 + eps)) - loss(jnp.float32(1.0 - eps))) / (
+            2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=5e-3)
+        assert float(g) > 0.1  # brighter env -> brighter image
+
     def test_importance_sampling_reduces_variance(self):
         """On the hot-patch map, env NEE must beat BSDF sampling's
         per-pass variance on the lit quad by a clear margin."""

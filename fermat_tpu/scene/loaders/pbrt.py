@@ -51,6 +51,9 @@ class PbrtScene:
     env_map: "object" = None  # (H, W, 3) float32 lat-long radiance or None
     dir_lights: tuple = ()  # DirectionalLightDef list (fa.py dataclass)
     point_lights: tuple = ()  # ((px,py,pz), (ix,iy,iz)) pairs
+    # film options copied out exactly like renderer.cu:716-717
+    exposure: float = 1.0
+    gamma: float = 2.2
 
 
 def _tokenize(text: str) -> List[str]:
@@ -178,6 +181,8 @@ class _Parser:
         self.world_to_camera = None
         self.camera_fov = 60.0
         self.resolution = (512, 512)
+        self.exposure = 1.0
+        self.gamma = 2.2
         self.materials: Dict[str, HostMaterial] = {}
         self.cur_mat: Optional[str] = None
         self.area_light: Optional[tuple] = None  # pending emissive override
@@ -299,6 +304,8 @@ class _Parser:
                 rx = int(params.get("xresolution", [512])[0])
                 ry = int(params.get("yresolution", [512])[0])
                 self.resolution = (rx, ry)
+                self.exposure = float(params.get("exposure", [self.exposure])[0])
+                self.gamma = float(params.get("gamma", [self.gamma])[0])
             elif tok == "WorldBegin":
                 self.ctm = np.eye(4)
                 self.tstack, self.astack = [], []
@@ -554,6 +561,8 @@ class _Parser:
             mesh=self.mesh,
             camera=cam,
             resolution=self.resolution,
+            exposure=self.exposure,
+            gamma=self.gamma,
             env_radiance=self.env,
             env_map=self.env_img,
             dir_lights=tuple(self.dir_lights),

@@ -141,6 +141,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     point_lights = ()
     env_radiance = (0.0, 0.0, 0.0)
     env_map = None
+    exposure, gamma = 1.0, 2.2
     if ext == ".fa":
         loaded = load_fa(scene_path, strict=False)
         mesh = loaded.mesh
@@ -156,6 +157,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         env_map = pb.env_map
         dir_lights = tuple(pb.dir_lights)
         point_lights = tuple(pb.point_lights)
+        exposure, gamma = pb.exposure, pb.gamma
         if res == (512, 512):
             res = pb.resolution
     else:
@@ -199,7 +201,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             passes_per_frame=1,
             max_frames=None if sys.stdin.isatty() else max(passes, 1),
         )
-        write_tga(out_path, ctx.image())
+        write_tga(out_path, ctx.image(exposure, gamma))
         print(f"viewer: {frames} frames, wrote {out_path}", file=sys.stderr)
         return 0
 
@@ -214,7 +216,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         done += step
         if save_intermediate and done == next_dump:
             base = os.path.splitext(out_path)[0]
-            write_tga(f"{base}_{done:05d}.tga", ctx.image())
+            write_tga(f"{base}_{done:05d}.tga", ctx.image(exposure, gamma))
             next_dump *= 2
         if ref_img is not None:
             import jax.numpy as jnp
@@ -223,7 +225,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"pass {done}: RMSE {r:.6f}", file=sys.stderr)
 
     elapsed = time.time() - t0
-    write_tga(out_path, ctx.image())
+    write_tga(out_path, ctx.image(exposure, gamma))
     print(f"wrote {out_path} ({passes} passes, {elapsed:.2f}s)", file=sys.stderr)
 
     if bench_path:

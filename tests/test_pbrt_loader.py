@@ -61,6 +61,17 @@ class TestTransforms:
         np.testing.assert_allclose(pb.mesh.vertices[1], [6, 0, 0], atol=1e-5)
         np.testing.assert_allclose(pb.mesh.vertices[4], [1, 0, 0], atol=1e-5)
 
+    def test_film_exposure_gamma(self, tmp_path):
+        """Film exposure/gamma copied out like renderer.cu:716-717."""
+        pb = _load(tmp_path,
+                   'Film "image" "integer xresolution" [64] '
+                   '"integer yresolution" [32] "float exposure" [2.5] '
+                   '"float gamma" [1.8]\n'
+                   "WorldBegin\n" + TRI)
+        assert pb.resolution == (64, 32)
+        assert pb.exposure == pytest.approx(2.5)
+        assert pb.gamma == pytest.approx(1.8)
+
     def test_include(self, tmp_path):
         (tmp_path / "geo.pbrt").write_text(TRI)
         pb = _load(tmp_path, 'WorldBegin\nInclude "geo.pbrt"\n')

@@ -35,6 +35,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fermat_tpu.bsdf.composite import (
     BsdfParams,
@@ -65,6 +66,12 @@ class BPTOptions(NamedTuple):
     ray_eps: float = 1.0e-4
     tracer: str = "auto"
     dims_per_bounce: int = 8
+    # env tail trace (escape ray off the last eye vertex): None = auto
+    # (on when an env map is present, or when the constant env is
+    # concretely nonzero). Under jit-with-view-as-argument (sharded) or
+    # grad w.r.t. env, the constant is a tracer and auto resolves OFF —
+    # set True explicitly there for constant-env scenes.
+    env_tail: "object" = None
 
 
 def _mis(x):
@@ -389,6 +396,18 @@ def render_pass(
         hit = closest(o, d, jnp.float32(eps), jnp.float32(3.0e38), alive)
         n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
         valid = alive & hit.hit_mask
+        # escaped eye rays pick up the environment (weight 1: no light
+        # subpath can start at infinity, so no competing strategy exists;
+        # the reference stubs this out at bpt_kernels.h:905)
+        from fermat_tpu.scene.envmap import scene_env_radiance
+
+        missed = alive & ~hit.hit_mask
+        env_l = scene_env_radiance(view, Vec3(d.x, d.y, d.z))
+        radiance = Vec3(
+            radiance.x + jnp.where(missed, thr.x * env_l.x, 0.0),
+            radiance.y + jnp.where(missed, thr.y * env_l.y, 0.0),
+            radiance.z + jnp.where(missed, thr.z * env_l.z, 0.0),
+        )
         tri_c = jnp.maximum(hit.tri, 0)
         pos, gn, sn, uv, mat_id = view.mesh.interpolate(tri_c, hit.u, hit.v)
         wi = -d
@@ -543,6 +562,36 @@ def render_pass(
         )
         o = _offset_origin(pos, gn, wo_world, eps)
         d = wo_world
+
+    # env tail: the eye loop traces L-1 segments, so the escape ray off
+    # the LAST eye vertex is otherwise never traced and env-lit surfaces
+    # go dark. One extra any-env trace, statically skipped for env-free
+    # scenes (zero cost on the common path).
+    if opts.env_tail is not None:
+        has_env = bool(opts.env_tail)
+    elif view.env_map is not None:
+        has_env = True
+    else:
+        try:
+            has_env = bool(
+                (np.asarray(jax.device_get(view.env)) != 0.0).any())
+        except Exception:
+            # traced constant env (sharded pass / grad): resolve OFF so
+            # jitted and closure-traced passes stay bit-identical; use
+            # env_tail=True to opt in
+            has_env = False
+    if has_env:
+        from fermat_tpu.scene.envmap import scene_env_radiance
+
+        hit_t = closest(o, d, jnp.float32(eps), jnp.float32(3.0e38), alive)
+        n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
+        missed_t = alive & ~hit_t.hit_mask
+        env_t = scene_env_radiance(view, Vec3(d.x, d.y, d.z))
+        radiance = Vec3(
+            radiance.x + jnp.where(missed_t, thr.x * env_t.x, 0.0),
+            radiance.y + jnp.where(missed_t, thr.y * env_t.y, 0.0),
+            radiance.z + jnp.where(missed_t, thr.z * env_t.z, 0.0),
+        )
 
     if return_splat_list:
         if splat_pix_list:

@@ -126,6 +126,16 @@ def render_pass(
                 ),
             )
 
+        # escaped rays pick up the environment (weight 1 — no NEE
+        # strategy samples the env here; reference stub: hellopt_impl.h:313)
+        from fermat_tpu.scene.envmap import scene_env_radiance
+
+        missed = alive & ~hit.hit_mask
+        env_l = scene_env_radiance(view, Vec3(d.x, d.y, d.z))
+        l_direct, l_psf = add(
+            l_direct, l_psf, env_l.x, env_l.y, env_l.z, missed
+        )
+
         # emissive accumulation w/ MIS (as pt)
         front_e = dot(gn, wi) > 0.0
         le = Vec3(

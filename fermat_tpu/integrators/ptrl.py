@@ -105,6 +105,18 @@ def render_pass(
         mats = view.mesh.materials.gather(mat_id)
         params = BsdfParams.from_materials(mats)
 
+        # escaped rays pick up the environment (weight 1 — RL NEE samples
+        # only VTL/mesh emitters, never the env)
+        from fermat_tpu.scene.envmap import scene_env_radiance
+
+        missed = alive & ~hit.hit_mask
+        env_l = scene_env_radiance(view, Vec3(d.x, d.y, d.z))
+        radiance = Vec3(
+            radiance.x + jnp.where(missed, thr.x * env_l.x, 0.0),
+            radiance.y + jnp.where(missed, thr.y * env_l.y, 0.0),
+            radiance.z + jnp.where(missed, thr.z * env_l.z, 0.0),
+        )
+
         # emissive w/ MIS against the RL pdf of the PREVIOUS cell
         front_e = dot(gn, wi) > 0.0
         le = Vec3(

@@ -114,6 +114,15 @@ def render_pass(
     hit = closest(o, d, jnp.float32(eps), jnp.float32(_BIG), jnp.ones(n, bool))
     n_rays = n_rays + jnp.asarray(n, jnp.float32)
     x_valid = hit.hit_mask
+    # directly-visible environment (reference stub: renderers/rpt.cu:426)
+    from fermat_tpu.scene.envmap import scene_env_radiance
+
+    env_x = scene_env_radiance(view, Vec3(d.x, d.y, d.z))
+    radiance = Vec3(
+        radiance.x + jnp.where(~x_valid, env_x.x, 0.0),
+        radiance.y + jnp.where(~x_valid, env_x.y, 0.0),
+        radiance.z + jnp.where(~x_valid, env_x.z, 0.0),
+    )
     tri_c = jnp.maximum(hit.tri, 0)
     x_pos, x_gn, x_sn, _xuv, x_mat = mesh.interpolate(tri_c, hit.u, hit.v)
     wi = -d
@@ -174,6 +183,15 @@ def render_pass(
     hit_y = closest(o1, d1, jnp.float32(eps), jnp.float32(_BIG), go)
     n_rays = n_rays + jnp.sum(go.astype(jnp.float32))
     y_valid = go & hit_y.hit_mask
+    # continuation escaped to the environment: the pixel's own s=0 sky
+    # path (weight 1 — NEE never samples the env)
+    env_y = scene_env_radiance(view, Vec3(d1.x, d1.y, d1.z))
+    m_env_y = go & ~hit_y.hit_mask
+    radiance = Vec3(
+        radiance.x + jnp.where(m_env_y, sx.g.x * env_y.x, 0.0),
+        radiance.y + jnp.where(m_env_y, sx.g.y * env_y.y, 0.0),
+        radiance.z + jnp.where(m_env_y, sx.g.z * env_y.z, 0.0),
+    )
     ytri = jnp.maximum(hit_y.tri, 0)
     y_pos, y_gn, y_sn, _yuv, y_mat = mesh.interpolate(ytri, hit_y.u, hit_y.v)
     y_wi = -d1
@@ -248,6 +266,15 @@ def render_pass(
         hz = closest(oz, dz, jnp.float32(eps), jnp.float32(_BIG), alive)
         n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
         zv = alive & hz.hit_mask
+        # escaped continuation: env radiance joins the reused incident
+        # estimate (weight 1)
+        env_z = scene_env_radiance(view, Vec3(dz.x, dz.y, dz.z))
+        m_env_z = alive & ~hz.hit_mask
+        alpha = Vec3(
+            alpha.x + jnp.where(m_env_z, thr.x * env_z.x, 0.0),
+            alpha.y + jnp.where(m_env_z, thr.y * env_z.y, 0.0),
+            alpha.z + jnp.where(m_env_z, thr.z * env_z.z, 0.0),
+        )
         ztri = jnp.maximum(hz.tri, 0)
         z_pos, z_gn, z_sn, _zuv, z_mat = mesh.interpolate(ztri, hz.u, hz.v)
         zwi = -dz

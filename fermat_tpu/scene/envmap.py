@@ -152,3 +152,21 @@ class EnvMapView(NamedTuple):
         pdf = wt / self.total * (h * w) / (2.0 * math.pi * math.pi * sin_t)
         rad = self.img.reshape(-1, 3)[idx]
         return d, pdf, Vec3(rad[:, 0], rad[:, 1], rad[:, 2])
+
+
+def scene_env_radiance(view, d: Vec3) -> Vec3:
+    """Environment radiance along d for a SceneView: the textured map
+    scaled by view.env when present, else the constant view.env.
+
+    Shared by every integrator's escaped-ray pickup (the reference leaves
+    all of these as empty "perform sky lighting" stubs — bpt_kernels.h:905,
+    renderers/rpt.cu:426, renderers/mlt_core.h:1031)."""
+    if getattr(view, "env_map", None) is not None:
+        e = view.env_map.eval(d)
+        return Vec3(e.x * view.env[0], e.y * view.env[1], e.z * view.env[2])
+    shp = jnp.shape(d.x)
+    return Vec3(
+        jnp.broadcast_to(view.env[0], shp),
+        jnp.broadcast_to(view.env[1], shp),
+        jnp.broadcast_to(view.env[2], shp),
+    )

@@ -209,6 +209,30 @@ class TestEnvMapRendering:
         np.testing.assert_allclose(float(g), float(fd), rtol=5e-3)
         assert float(g) > 0.1  # brighter env -> brighter image
 
+    def test_renderer_roster_consistency(self):
+        """bpt/psfpt/ptrl/rpt pick up escaped-ray env radiance and agree
+        with PT on an env-lit scene (the reference renders black skies in
+        every renderer — all its env hooks are empty stubs)."""
+        from fermat_tpu.render.context import RenderingContext
+
+        cam = Camera.create((0, 2.0, 2.0), (0, 0, 0), (0, 1, 0), 0.7)
+        res = 32
+
+        def render(name, passes=8, **kw):
+            ctx = RenderingContext.create(
+                _floor_scene(0.6), cam, res, res, renderer=name,
+                env_map=np.ones((8, 16, 3), np.float32) * 0.8,
+                max_path_length=2, **kw)
+            return np.asarray(ctx.render(passes).composited)
+
+        ref = render("pt")
+        assert ref.mean() > 0.2
+        for name in ("bpt", "psfpt", "ptrl", "rpt"):
+            img = render(name)
+            rel = abs(img.mean() - ref.mean()) / ref.mean()
+            assert rel < 0.06, (name, img.mean(), ref.mean())
+            assert np.isfinite(img).all(), name
+
     def test_importance_sampling_reduces_variance(self):
         """On the hot-patch map, env NEE must beat BSDF sampling's
         per-pass variance on the lit quad by a clear margin."""

@@ -22,6 +22,13 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fermat_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # heartbeat BEFORE the first device touch: the axon connect can wedge
+    # indefinitely (see memory notes) and this line tells a log reader the
+    # hang is the backend grant, not scene build or compile
+    print("bench: connecting to backend...", file=sys.stderr, flush=True)
+    _devs = jax.devices()
+    print(f"bench: backend up ({_devs[0].platform})", file=sys.stderr,
+          flush=True)
     import jax.numpy as jnp
 
     from fermat_tpu.integrators.pt import PTOptions, render_pass

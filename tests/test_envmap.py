@@ -233,6 +233,28 @@ class TestEnvMapRendering:
             assert rel < 0.06, (name, img.mean(), ref.mean())
             assert np.isfinite(img).all(), name
 
+    @pytest.mark.heavy
+    def test_pssmlt_inherits_env(self):
+        """PSSMLT over BPT paths re-evaluates the eye walk (incl. the env
+        tail), so env-lit scenes are inside its path space — chains must
+        reproduce PT's mean (b normalizes by the same contributions)."""
+        from fermat_tpu.render.context import RenderingContext
+
+        cam = Camera.create((0, 2.0, 2.0), (0, 0, 0), (0, 1, 0), 0.7)
+        emap = np.ones((8, 16, 3), np.float32) * 0.8
+
+        def render(name, passes, **kw):
+            ctx = RenderingContext.create(
+                _floor_scene(0.6), cam, 32, 32, renderer=name,
+                env_map=emap, max_path_length=2, **kw)
+            return np.asarray(ctx.render(passes).composited)
+
+        ref = render("pt", 8)
+        img = render("pssmlt", 64)
+        rel = abs(img.mean() - ref.mean()) / ref.mean()
+        assert np.isfinite(img).all()
+        assert rel < 0.1, (img.mean(), ref.mean())
+
     def test_importance_sampling_reduces_variance(self):
         """On the hot-patch map, env NEE must beat BSDF sampling's
         per-pass variance on the lit quad by a clear margin."""

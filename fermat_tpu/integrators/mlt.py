@@ -965,9 +965,14 @@ def render_pass_fb(
     pix: Array = None,
 ):
     """Framebuffer-shaped adapter (registry entry)."""
-    from fermat_tpu.integrators.pt import _PassOutput
+    from fermat_tpu.integrators.pt import _PassOutput, direct_env_image
 
     img, n_rays = render_pass(view, opts, res_x, res_y, instance, seed)
+    # directly-visible environment: outside the MCMC path space (vertex
+    # chains never end on the env), added as an independent QMC term
+    env_img, env_rays = direct_env_image(view, res_x, res_y, instance, seed)
+    img = img + env_img
+    n_rays = n_rays + env_rays
     npix = res_x * res_y
     comp = Vec3(img[:, 0], img[:, 1], img[:, 2])
     zero3 = Vec3.zeros((npix,))

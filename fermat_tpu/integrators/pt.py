@@ -33,6 +33,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fermat_tpu.accel.traverse import (
     trace_any,
@@ -230,6 +231,43 @@ def _offset_origin(pos: Vec3, gn: Vec3, d: Vec3, eps: float) -> Vec3:
     """Offset along the geometric normal on the side the ray departs."""
     side = jnp.where(dot(gn, d) >= 0.0, 1.0, -1.0)
     return pos + gn * (side * eps)
+
+
+def direct_env_image(view: SceneView, res_x: int, res_y: int,
+                     instance: Array, seed: int = 0):
+    """(N, 3) directly-visible environment radiance (camera-ray misses)
+    plus the ray count spent.
+
+    The MCMC renderers' path spaces cover only surface-interaction chains;
+    the pixel integral decomposes as [direct env] + [surface paths], so
+    this deterministic QMC term is added OUTSIDE the chains with no
+    overlap (their vertex evals never produce env contributions).
+    Statically returns zeros for env-free scenes."""
+    n = res_x * res_y
+    try:
+        has_env = (view.env_map is not None) or bool(
+            (np.asarray(jax.device_get(view.env)) != 0.0).any())
+    except Exception:  # traced env: keep the term
+        has_env = True
+    if not has_env:
+        return jnp.zeros((n, 3)), jnp.zeros(())
+    from fermat_tpu.scene.envmap import scene_env_radiance
+
+    closest, _ = _pick_tracers(view, PTOptions())
+    seq = TiledSequence.create(seed).set_instance(instance)
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    jx, jy = seq.sample_2d(pix, jnp.uint32(0))
+    o, d, _ = generate_camera_rays(view.camera, res_x, res_y, jx, jy, pix)
+    hit = closest(o, d, jnp.float32(1e-4), jnp.float32(3.0e38),
+                  jnp.ones(n, bool))
+    missed = ~hit.hit_mask
+    e = scene_env_radiance(view, Vec3(d.x, d.y, d.z))
+    img = jnp.stack([
+        jnp.where(missed, e.x, 0.0),
+        jnp.where(missed, e.y, 0.0),
+        jnp.where(missed, e.z, 0.0),
+    ], axis=-1)
+    return img, jnp.asarray(n, jnp.float32)
 
 
 def render_pass(

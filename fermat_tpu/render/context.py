@@ -73,9 +73,15 @@ def _cmlt_factory(**kw):
 
     def pass_fn(view, opts_, res_x, res_y, instance, seed, state):
         from fermat_tpu.core.math import Vec3
-        from fermat_tpu.integrators.pt import _PassOutput
+        from fermat_tpu.integrators.pt import _PassOutput, direct_env_image
 
         new_state, splat, rays = cm.step(view, opts_, res_x, res_y, state)
+        # directly-visible environment: outside the charted path space,
+        # added as an independent QMC term (see pt.direct_env_image)
+        env_img, env_rays = direct_env_image(view, res_x, res_y, instance,
+                                             seed)
+        splat = splat + env_img
+        rays = rays + env_rays
         n = res_x * res_y
         comp = Vec3(splat[:, 0], splat[:, 1], splat[:, 2])
         zero3 = Vec3.zeros((n,))

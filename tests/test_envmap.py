@@ -233,6 +233,21 @@ class TestEnvMapRendering:
             assert rel < 0.06, (name, img.mean(), ref.mean())
             assert np.isfinite(img).all(), name
 
+    def test_mcmc_direct_env_term(self):
+        """MLT/CMLT composite the directly-visible env as an additive QMC
+        term outside the chains (their path spaces exclude env paths) —
+        sky pixels light up, surfaces stay chain-owned."""
+        from fermat_tpu.render.context import RenderingContext
+
+        cam = Camera.create((0, 2.0, 2.0), (0, 0, 0), (0, 1, 0), 0.7)
+        for name in ("mlt", "cmlt"):
+            ctx = RenderingContext.create(
+                _floor_scene(0.6), cam, 24, 24, renderer=name,
+                env_map=np.ones((8, 16, 3), np.float32), max_path_length=3)
+            img = np.asarray(ctx.render(2).composited)
+            assert np.isfinite(img).all(), name
+            assert img.mean() > 0.2, (name, img.mean())  # sky visible
+
     @pytest.mark.heavy
     def test_pssmlt_inherits_env(self):
         """PSSMLT over BPT paths re-evaluates the eye walk (incl. the env

@@ -40,6 +40,26 @@ class TestSharding:
         )
         assert float(out_s.rays) == float(out_1.rays)
 
+    def test_sharded_matches_single_envmap(self):
+        """Env-map scenes shard identically: the map + CDF tables ride the
+        replicated view pytree; env NEE runs per-lane inside shard_map."""
+        emap = np.zeros((8, 16, 3), np.float32)
+        emap[:, :, 2] = 1.0  # blue dome
+        emap[2:4, 4:6] = [30.0, 10.0, 1.0]
+        view = SceneView.build(cornell_box(light_size=2.0), cornell_camera(),
+                               env_map=emap)
+        opts = PTOptions(max_path_length=3, rr=False)
+        mesh = make_mesh()
+        out_s = render_pass_sharded(view, opts, RES, RES, jnp.uint32(0), mesh)
+        out_1 = render_pass(view, opts, RES, RES, jnp.uint32(0))
+        np.testing.assert_allclose(
+            np.asarray(out_s.composited.x),
+            np.asarray(out_1.composited.x),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+        assert float(out_s.rays) == float(out_1.rays)
+
     def test_grad_through_sharded_render(self):
         view = _view()
         opts = PTOptions(max_path_length=2, rr=False)

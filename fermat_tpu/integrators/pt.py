@@ -82,7 +82,7 @@ class PTOptions(NamedTuple):
     # units give compaction no occupancy win, so masked is the default.
     queue_compaction: bool = False
     ray_eps: float = 1.0e-4  # self-intersection offset (scene units)
-    tracer: str = "auto"  # "bvh" | "brute" | "auto"
+    tracer: str = "auto"  # "bvh" | "brute" | "pallas" | "cluster" | "binned" | "auto"
     dims_per_bounce: int = 8
     # static lobe mask (dr, dt, gr, gt) — auto-set from the scene's materials
     # by RenderingContext (composite.scene_lobes); disabled lobes compile out
@@ -135,6 +135,14 @@ def _make_anyhit(mesh, bvh, clusters, mode: str):
             return trace_any_cluster(clusters, o, d, tmin, tmax, active)
 
         return f
+    if mode == "binned":
+        from fermat_tpu.ops.pallas_binned_trace import trace_any_binned
+
+        def f(o, d, tmin, tmax, active):
+            o, d = _detach_rays(o, d)
+            return trace_any_binned(clusters, o, d, tmin, tmax, active)
+
+        return f
     if mode == "pallas":
         from fermat_tpu.ops.pallas_trace import trace_any_pallas
 
@@ -170,6 +178,12 @@ def _pick_tracers(view: SceneView, opts: PTOptions):
         def closest(o, d, tmin, tmax, active):
             o, d = _detach_rays(o, d)
             return trace_closest_cluster(view.clusters, o, d, tmin, tmax, active)
+    elif mode == "binned":
+        from fermat_tpu.ops.pallas_binned_trace import trace_closest_binned
+
+        def closest(o, d, tmin, tmax, active):
+            o, d = _detach_rays(o, d)
+            return trace_closest_binned(view.clusters, o, d, tmin, tmax, active)
     elif mode == "pallas":
         from fermat_tpu.ops.pallas_trace import trace_closest_pallas
 

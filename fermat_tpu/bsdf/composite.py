@@ -93,7 +93,7 @@ def _max_comp(v: Vec3) -> Array:
     return jnp.maximum(jnp.maximum(v.x, v.y), v.z)
 
 
-def _e_glossy(p: BsdfParams, cos_t: Array) -> Array:
+def _e_glossy(p: BsdfParams, cos_t: Array, e_fn=None) -> Array:
     """Fresnel-scaled glossy directional albedo (table analog, see module doc).
 
     The Fresnel factor uses the hemispherical-average Schlick reflectance
@@ -101,7 +101,7 @@ def _e_glossy(p: BsdfParams, cos_t: Array) -> Array:
     lossless) — the reference's 4D table encodes the same limit at its
     base_spec = 0 slice.
     """
-    e1 = ggx.glossy_reflectance(p.roughness, cos_t)
+    e1 = (e_fn or ggx.glossy_reflectance)(p.roughness, cos_t)
     f0m = _max_comp(p.f0)
     favg = f0m + (1.0 - f0m) / 21.0
     favg = jnp.where(f0m <= 0.0, 0.0, favg)
@@ -144,7 +144,7 @@ def scene_clearcoat(materials_host) -> bool:
 
 
 def component_weights(
-    p: BsdfParams, wi: Vec3, wo: Vec3
+    p: BsdfParams, wi: Vec3, wo: Vec3, e_fn=None
 ) -> Tuple[Vec3, Array, Array, Array]:
     """(glossy_refl r_coeff Vec3, diffuse_w, diffuse_trans_w, glossy_trans_w).
 
@@ -164,7 +164,8 @@ def component_weights(
         jnp.where(suppressed, 0.0, r_coeff.z),
     )
     t = 1.0 - _max_comp(r_coeff)
-    k = (1.0 - _e_glossy(p, jnp.abs(wi.z))) * (1.0 - _e_glossy(p, jnp.abs(wo.z)))
+    k = (1.0 - _e_glossy(p, jnp.abs(wi.z), e_fn)) * (
+        1.0 - _e_glossy(p, jnp.abs(wo.z), e_fn))
     diffuse_w = t * p.opacity * k
     diffuse_trans_w = t * p.opacity * k
     glossy_trans_w = t * (1.0 - p.opacity)
@@ -197,7 +198,7 @@ def pdf(p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES) -> Array:
 
 
 def _selection_probs(p: BsdfParams, wi: Vec3, lobes=ALL_LOBES,
-                     clearcoat: bool = False):
+                     clearcoat: bool = False, e_fn=None):
     """Lobe selection probabilities from view-dependent weight luminances.
 
     With the clearcoat layer, the coat reflection takes probability
@@ -207,7 +208,7 @@ def _selection_probs(p: BsdfParams, wi: Vec3, lobes=ALL_LOBES,
     r_lum = _max_comp(schlick(nov, p.f0))
     r_lum = jnp.where(p.ior == 0.0, 0.0, r_lum)
     t = 1.0 - r_lum
-    k = 1.0 - _e_glossy(p, nov)
+    k = 1.0 - _e_glossy(p, nov, e_fn)
     zero = jnp.zeros_like(nov)
     w_dr = t * p.opacity * k * _max_comp(p.diffuse) if lobes[0] else zero
     w_dt = t * p.opacity * k * _max_comp(p.diffuse_trans) if lobes[1] else zero
@@ -241,7 +242,7 @@ def _glossy_refl_eval(p: BsdfParams, alpha, wi, wo, glossy: str):
 
 def f_and_pdf(
     p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES, clearcoat: bool = False,
-    glossy: str = "ggx",
+    glossy: str = "ggx", e_fn=None
 ) -> Tuple[Vec3, Array]:
     """Composite f and the mixture pdf of `sample` (bsdf.h:336-413).
 
@@ -250,7 +251,7 @@ def f_and_pdf(
     reflection contributes no density at a.e. directions; second-interface
     refraction deliberately ignored, bsdf.h:780-784)."""
     alpha = ggx._alpha(p.roughness)
-    r_coeff, w_d, w_dt, w_gt = component_weights(p, wi, wo)
+    r_coeff, w_d, w_dt, w_gt = component_weights(p, wi, wo, e_fn)
     same = (wi.z * wo.z) > 0.0
     abs_co = jnp.abs(wo.z)
     zero = jnp.zeros_like(abs_co)
@@ -267,7 +268,8 @@ def f_and_pdf(
     fy = p.diffuse.y * f_dr + p.diffuse_trans.y * f_dt + r_coeff.y * g_r + g_t
     fz = p.diffuse.z * f_dr + p.diffuse_trans.z * f_dt + r_coeff.z * g_r + g_t
 
-    p_dr, p_dt, p_gr, p_gt, _p_cc = _selection_probs(p, wi, lobes, clearcoat)
+    p_dr, p_dt, p_gr, p_gt, _p_cc = _selection_probs(p, wi, lobes, clearcoat,
+                                                     e_fn)
     if clearcoat:
         tc = clearcoat_fresnel(p, wi)
         fx = fx * (1.0 - tc.x)
@@ -283,13 +285,13 @@ def f_and_pdf(
 
 def f_split(
     p: BsdfParams, wi: Vec3, wo: Vec3, lobes=ALL_LOBES, clearcoat: bool = False,
-    glossy: str = "ggx",
+    glossy: str = "ggx", e_fn=None
 ) -> Tuple[Vec3, Vec3, Array]:
     """(f_diffuse, f_glossy, mixture_pdf) — the per-component split the
     reference's PTVertexProcessor uses to route diffuse vs specular framebuffer
     channels (src/renderers/pathtracer_vertex_processor.h)."""
     alpha = ggx._alpha(p.roughness)
-    r_coeff, w_d, w_dt, w_gt = component_weights(p, wi, wo)
+    r_coeff, w_d, w_dt, w_gt = component_weights(p, wi, wo, e_fn)
     same = (wi.z * wo.z) > 0.0
     abs_co = jnp.abs(wo.z)
     zero = jnp.zeros_like(abs_co)
@@ -306,7 +308,8 @@ def f_split(
         p.diffuse.z * f_dr + p.diffuse_trans.z * f_dt,
     )
     fg = Vec3(r_coeff.x * g_r + g_t, r_coeff.y * g_r + g_t, r_coeff.z * g_r + g_t)
-    p_dr, p_dt, p_gr, p_gt, _p_cc = _selection_probs(p, wi, lobes, clearcoat)
+    p_dr, p_dt, p_gr, p_gt, _p_cc = _selection_probs(p, wi, lobes, clearcoat,
+                                                     e_fn)
     if clearcoat:
         tc = clearcoat_fresnel(p, wi)
         fd = Vec3(fd.x * (1.0 - tc.x), fd.y * (1.0 - tc.y), fd.z * (1.0 - tc.z))
@@ -330,14 +333,16 @@ class BsdfSample(NamedTuple):
 
 
 def sample(p: BsdfParams, wi: Vec3, u0, u1, u2, lobes=ALL_LOBES,
-           clearcoat: bool = False, glossy: str = "ggx") -> BsdfSample:
+           clearcoat: bool = False, glossy: str = "ggx",
+           e_fn=None) -> BsdfSample:
     """One-sample-MIS lobe sampling (Bsdf::sample, bsdf.h:830-1140).
 
     With `clearcoat`, the coat's perfectly-specular reflection is a 5th,
     delta component sampled with probability mean(Fc): wo mirrors wi about
     the shading normal, g = Fc/p (bsdf.h:1108-1118), pdf is the delta
     stand-in so downstream MIS weights collapse to 1."""
-    p_dr, p_dt, p_gr, p_gt, p_cc = _selection_probs(p, wi, lobes, clearcoat)
+    p_dr, p_dt, p_gr, p_gt, p_cc = _selection_probs(p, wi, lobes, clearcoat,
+                                                    e_fn)
     alpha = ggx._alpha(p.roughness)
     side = jnp.where(wi.z >= 0, 1.0, -1.0)
 
@@ -399,7 +404,7 @@ def sample(p: BsdfParams, wi: Vec3, u0, u1, u2, lobes=ALL_LOBES,
         jax.lax.stop_gradient(wo.y),
         jax.lax.stop_gradient(wo.z),
     )
-    fv, mix_pdf = f_and_pdf(p, wi, wo, lobes, clearcoat, glossy)
+    fv, mix_pdf = f_and_pdf(p, wi, wo, lobes, clearcoat, glossy, e_fn=e_fn)
     # glossy-trans TIR lanes have pdf 0
     mix_pdf = jnp.where(is_gt & (pdf_gt_s <= 0.0), 0.0, mix_pdf)
     mix_pdf = jax.lax.stop_gradient(mix_pdf)

@@ -302,6 +302,16 @@ def render_pass(
     machinery from mutated primary-sample vectors (the reference's
     TPrimaryCoordinates policy, bpt_samplers.h:43-121).
     """
+    if opts.tracer == "mega":
+        # whole-pass fused Pallas megakernel (VMEM-resident scene); the
+        # scene tables are baked host-side, so the view must be concrete
+        # (jit over instance via render_pass_mega(..., tables=...) instead)
+        from fermat_tpu.ops.pallas_pt_mega import render_pass_mega
+
+        assert pix is None and sequence is None, (
+            "tracer='mega' renders the full pixel grid with its own sampler"
+        )
+        return render_pass_mega(view, opts, res_x, res_y, instance, seed)
     if pix is None:
         pix = jnp.arange(res_x * res_y, dtype=jnp.uint32)
     n = pix.shape[0]

@@ -582,6 +582,10 @@ def render_pass(
         # even offset that no other strategy's pair shares)
         stride = (opts.dims_per_bounce if view.env_map is None
                   else max(opts.dims_per_bounce, 10))
+        if view.area_lights is not None and view.area_lights.count > 0:
+            # analytic area lights consume 2 aligned dims each after the
+            # env pair (offsets 10, 12, ...)
+            stride = max(stride, 10 + 2 * view.area_lights.count)
         base_dim = jnp.uint32(2) + jnp.asarray(b, jnp.uint32) * jnp.uint32(
             stride
         )
@@ -731,6 +735,62 @@ def render_pass(
                 contrib = Vec3((fde.x + fge.x) * wXe, (fde.y + fge.y) * wYe,
                                (fde.z + fge.z) * wZe)
                 c = add_routed(c, contrib, lit_e, c.channel)
+
+        # ---- NEE: analytic area lights (lights.h:175-249 DiskLight form;
+        # invisible to BSDF rays like the reference, whose intersect_impl
+        # is a TODO returning t = -1 — so NEE weight is 1, no MIS) ----
+        if view.area_lights is not None and view.area_lights.count > 0 and nee_on:
+            for li in range(view.area_lights.count):
+                ua0, ua1 = seq.sample_2d(
+                    c.pix_u, base_dim + jnp.uint32(10 + 2 * li)
+                )
+                lpos, ln, lle, lpdf_a = view.area_lights.sample(li, ua0, ua1)
+                to_l = lpos - pos
+                dist2 = jnp.maximum(dot(to_l, to_l), 1e-12)
+                dist = jnp.sqrt(dist2)
+                wo = to_l * (1.0 / dist)
+                cos_l = dot(ln, -wo)
+                wo_loc = to_local(wo, t_b, b_b, sn_f)
+                fd, fg, _ = f_split(params, wi_loc, wo_loc, opts.lobes,
+                                    opts.clearcoat, opts.glossy_model)
+                pdf_sa = jax.lax.stop_gradient(
+                    lpdf_a * dist2 / jnp.maximum(jnp.abs(cos_l), 1e-8)
+                )
+                cos_s = jnp.abs(wo_loc.z)
+                able = (
+                    valid & (cos_l > 1e-6) & (pdf_sa > 1e-12)
+                    & ((fd.x + fd.y + fd.z + fg.x + fg.y + fg.z) > 0.0)
+                )
+                so = _offset_origin(pos, gn, wo, eps)
+                occluded = sh_anyhit(so, wo, jnp.float32(0.0),
+                                     dist * (1.0 - 1e-3), able)
+                c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
+                lit = able & ~occluded
+                scale = cos_s / jnp.maximum(pdf_sa, 1e-12)
+                if opts.detach_nee:
+                    scale = jax.lax.stop_gradient(scale)
+                    fd = Vec3(*(jax.lax.stop_gradient(a) for a in fd))
+                    fg = Vec3(*(jax.lax.stop_gradient(a) for a in fg))
+                wX = c.thr.x * lle.x * scale
+                wY = c.thr.y * lle.y * scale
+                wZ = c.thr.z * lle.z * scale
+                if first:
+                    c = c._replace(
+                        l_diffuse=Vec3(
+                            c.l_diffuse.x + jnp.where(lit, fd.x * wX, 0.0),
+                            c.l_diffuse.y + jnp.where(lit, fd.y * wY, 0.0),
+                            c.l_diffuse.z + jnp.where(lit, fd.z * wZ, 0.0),
+                        ),
+                        l_specular=Vec3(
+                            c.l_specular.x + jnp.where(lit, fg.x * wX, 0.0),
+                            c.l_specular.y + jnp.where(lit, fg.y * wY, 0.0),
+                            c.l_specular.z + jnp.where(lit, fg.z * wZ, 0.0),
+                        ),
+                    )
+                else:
+                    contrib = Vec3((fd.x + fg.x) * wX, (fd.y + fg.y) * wY,
+                                   (fd.z + fg.z) * wZ)
+                    c = add_routed(c, contrib, lit, c.channel)
 
         # ---- NEE: point lights (delta; lights.h Point) ----
         if view.point_lights.count > 0:

@@ -143,6 +143,8 @@ def mega_eligible(view, opts) -> bool:
             return False
         if view.point_lights.count > 0 or view.dir_lights.count > 0:
             return False
+        if getattr(view, "area_lights", None) is not None:
+            return False
         if view.shadow_sets is not None:
             return False
         if mesh.materials.count > MEGA_M_MAX:

@@ -26,11 +26,15 @@ from typing import Optional
 
 import numpy as np
 
-# ShadingMode parity (renderer_view.h:62-77). kUVStretch needs the uv-chart
-# machinery (uv_bvh) and kCharts maps to per-triangle ids here.
+# ShadingMode parity (renderer_view.h:62-77). kCharts maps to per-triangle
+# ids here. kUVStretch (renderer_view.h:65) is declared + key-bound in the
+# reference (glut_viewer.cu:338) but its blit kernel was never written;
+# here it renders the per-triangle world-area/uv-area stretch as a
+# blue-grey-red log2 heatmap (red = texture compressed, blue = stretched).
 SHADING_MODES = [
     "shaded",           # kShaded: tonemapped composited
     "uv",               # kUV: interpolated texture coords
+    "uv_stretch",       # kUVStretch: sqrt(world/uv area) log2 heatmap
     "charts",           # kCharts analog: hashed triangle-id colors
     "albedo",           # kAlbedo: diffuse+specular albedo
     "diffuse_albedo",   # kDiffuseAlbedo
@@ -65,6 +69,32 @@ def aov_image(ctx, mode: str, exposure: float = 1.0) -> np.ndarray:
             out = np.zeros((h, w, 3), np.float32)
             out[..., 0] = np.mod(uv[..., 0], 1.0)
             out[..., 1] = np.mod(uv[..., 1], 1.0)
+            return out
+    if mode == "uv_stretch" and gb is not None and "tri" in gb:
+        view = getattr(ctx, "view", None)
+        mesh = getattr(view, "mesh", None)
+        if mesh is not None:
+            e1 = np.stack([np.asarray(mesh.e1.x), np.asarray(mesh.e1.y),
+                           np.asarray(mesh.e1.z)], -1)
+            e2 = np.stack([np.asarray(mesh.e2.x), np.asarray(mesh.e2.y),
+                           np.asarray(mesh.e2.z)], -1)
+            w_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            uv0 = np.asarray(mesh.uv0)
+            du1 = np.asarray(mesh.uv1) - uv0
+            du2 = np.asarray(mesh.uv2) - uv0
+            uv_area = 0.5 * np.abs(du1[:, 0] * du2[:, 1]
+                                   - du1[:, 1] * du2[:, 0])
+            stretch = np.sqrt(w_area / np.maximum(uv_area, 1e-12))
+            med = np.median(stretch[w_area > 0]) if (w_area > 0).any() else 1.0
+            tri = np.asarray(gb["tri"])
+            s = stretch[np.clip(tri, 0, stretch.shape[0] - 1)]
+            # log2 ratio vs the scene median, mapped to blue-grey-red
+            x = np.clip(np.log2(s / max(med, 1e-12)) / 4.0, -1.0, 1.0)
+            out = np.empty(tri.shape + (3,), np.float32)
+            out[..., 0] = 0.5 + 0.5 * np.maximum(x, 0.0)
+            out[..., 1] = 0.5 - 0.25 * np.abs(x)
+            out[..., 2] = 0.5 + 0.5 * np.maximum(-x, 0.0)
+            out[np.asarray(gb["miss"])] = 0.0
             return out
     if mode == "charts" and gb is not None and "tri" in gb:
         tri = np.asarray(gb["tri"]).astype(np.uint32)

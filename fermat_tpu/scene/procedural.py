@@ -189,3 +189,24 @@ def big_room(n_boxes: int = 2000, seed: int = 3) -> MeshStorage:
         group_offsets=np.asarray([0, t.shape[0]], np.int32),
     )
     return base.merge(clutter)
+
+
+def floor_quad(half: float = 1.0, albedo=(0.6, 0.6, 0.6),
+               uv_indexed: bool = False) -> MeshStorage:
+    """A single diffuse quad at y=0 spanning [-half, half]^2 (test subject
+    for furnace / analytic-light parity checks)."""
+    vs = [[-half, 0, half], [half, 0, half], [half, 0, -half],
+          [-half, 0, -half]]
+    tris = [[0, 1, 2], [0, 2, 3]]
+    m = HostMaterial("floor")
+    m.diffuse = tuple(albedo)
+    t = np.asarray(tris, np.int32)
+    return MeshStorage(
+        vertices=np.asarray(vs, np.float32),
+        triangles=t,
+        normal_indices=np.full_like(t, -1),
+        material_ids=np.zeros(len(tris), np.int32),
+        materials=[m],
+        group_names=["floor"],
+        group_offsets=np.asarray([0, t.shape[0]], np.int32),
+    )

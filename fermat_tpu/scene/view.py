@@ -53,6 +53,9 @@ class SceneView(NamedTuple):
     # textured infinite light (scene.envmap.EnvMapView) or None; when set,
     # `env` acts as an RGB scale on the map's radiance
     env_map: "object" = None
+    # analytic (un-tessellated) disk/rect area lights with exact
+    # sample/map/pdf forms (lights.h:175-249); None = none
+    area_lights: "object" = None
 
     @property
     def has_textures(self) -> bool:
@@ -70,6 +73,7 @@ class SceneView(NamedTuple):
         point_light_defs=(),
         n_vpls: int = 256,
         env_map=None,
+        area_light_defs=(),
     ) -> "SceneView":
         # resolve texture files referenced by materials (renderer.cu:784-882)
         images = []
@@ -127,7 +131,10 @@ class SceneView(NamedTuple):
         atlas = TextureAtlas.build(images)
         import jax.numpy as jnp
 
-        from fermat_tpu.scene.analytic_lights import PointLightsView
+        from fermat_tpu.scene.analytic_lights import (
+            AreaLightsView,
+            PointLightsView,
+        )
 
         # masked shadow geometry: one pre-filtered set per shadow-ray mask
         # bit actually used by the scene's materials
@@ -169,4 +176,6 @@ class SceneView(NamedTuple):
             clusters=clusters, vpls=vpls, shadow_sets=shadow_sets,
             env_map=(EnvMapView.build(env_map) if env_map is not None
                      else None),
+            area_lights=(AreaLightsView.build(list(area_light_defs))
+                         if area_light_defs else None),
         )

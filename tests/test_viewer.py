@@ -27,7 +27,10 @@ class TestAovModes:
     def test_mode_set_matches_reference_count(self):
         # renderer_view.h:62-77 lists 14 modes; kUVStretch needs uv charts
         # (not built), so 13 are implemented
-        assert len(SHADING_MODES) == 13
+        # 13 reference modes + uv_stretch (declared in renderer_view.h:65 and
+        # key-bound in glut_viewer.cu:338 but never implemented there)
+        assert len(SHADING_MODES) == 14
+        assert "uv_stretch" in SHADING_MODES
         assert SHADING_MODES[0] == "shaded"
 
     def test_all_modes_produce_valid_images(self):

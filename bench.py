@@ -39,24 +39,57 @@ def main() -> None:
 
     res = 512
     scene = cornell_box(glossy_boxes=True)
-    opts = PTOptions(max_path_length=6, lobes=scene_lobes(scene.materials))
+    base_opts = PTOptions(max_path_length=6, lobes=scene_lobes(scene.materials))
     view = SceneView.build(scene, cornell_camera())
 
     n_passes = 16
+    t_start = time.perf_counter()
 
-    # all passes in ONE jitted fori_loop: measures device throughput, not
-    # the tunnel's ~50ms/dispatch round-trip latency
-    @jax.jit
-    def batch(view, instance0):
-        def body(i, carry):
-            acc, rays = carry
-            out = render_pass(view, opts, res, res, instance0 + i)
-            return (acc + out.composited.x, rays + out.rays)
-
-        return jax.lax.fori_loop(
-            0, n_passes, body,
-            (jnp.zeros(res * res, jnp.float32), jnp.zeros((), jnp.float32)),
+    # primary path: the whole-pass fused Pallas megakernel (round 3) with
+    # a fallback to the round-2 XLA pipeline if the kernel fails on the
+    # real chip (interpret-mode parity is tested; hardware is the canary)
+    mode = "mega"
+    try:
+        from fermat_tpu.ops.pallas_pt_mega import (
+            build_mega_tables, render_pass_mega,
         )
+
+        mopts = base_opts._replace(tracer="mega")
+        tb = build_mega_tables(view, res, res, mopts.ray_eps)
+
+        @jax.jit
+        def batch(view_unused, instance0):
+            def body(i, carry):
+                acc, rays = carry
+                out = render_pass_mega(view, mopts, res, res, instance0 + i,
+                                       tables=tb)
+                return (acc + out.composited.x, rays + out.rays)
+
+            return jax.lax.fori_loop(
+                0, n_passes, body,
+                (jnp.zeros(res * res, jnp.float32),
+                 jnp.zeros((), jnp.float32)),
+            )
+
+        jax.block_until_ready(batch(view, jnp.uint32(0)))
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: mega kernel failed ({e}); falling back to XLA "
+              "pipeline", file=sys.stderr, flush=True)
+        mode = "xla"
+        opts = base_opts
+
+        @jax.jit
+        def batch(view, instance0):
+            def body(i, carry):
+                acc, rays = carry
+                out = render_pass(view, opts, res, res, instance0 + i)
+                return (acc + out.composited.x, rays + out.rays)
+
+            return jax.lax.fori_loop(
+                0, n_passes, body,
+                (jnp.zeros(res * res, jnp.float32),
+                 jnp.zeros((), jnp.float32)),
+            )
 
     img, rays = jax.block_until_ready(batch(view, jnp.uint32(0)))  # compile
     total_rays = float(rays)
@@ -76,6 +109,7 @@ def main() -> None:
     # One pass, single timed repeat — the dense CornellBox number above
     # stays the primary regression metric.
     big_mrays = None
+    big_tracer = None
     try:
         from fermat_tpu.core.camera import Camera
         from fermat_tpu.scene.procedural import big_room
@@ -83,16 +117,58 @@ def main() -> None:
         room = big_room(n_boxes=8300)
         cam = Camera.create(eye=(0.0, 3.0, 10.0), aim=(0.0, 1.5, 0.0))
         rv = SceneView.build(room, cam)
-        ropts = PTOptions(max_path_length=6, lobes=scene_lobes(room.materials),
-                          tracer="cluster")
-        out = render_pass(rv, ropts, 1600, 896, jnp.uint32(0))
-        jax.block_until_ready(out.composited.x)
-        t0 = time.perf_counter()
-        out = render_pass(rv, ropts, 1600, 896, jnp.uint32(1))
-        jax.block_until_ready(out.composited.x)
-        big_mrays = float(out.rays) / (time.perf_counter() - t0) / 1e6
+        # round-3 binned-wavefront tracer; fall back to the round-2
+        # cluster tracer if the new kernel fails on hardware
+        for trc in ("binned", "cluster"):
+            try:
+                ropts = PTOptions(max_path_length=6,
+                                  lobes=scene_lobes(room.materials),
+                                  tracer=trc)
+                out = render_pass(rv, ropts, 1600, 896, jnp.uint32(0))
+                jax.block_until_ready(out.composited.x)
+                t0 = time.perf_counter()
+                out = render_pass(rv, ropts, 1600, 896, jnp.uint32(1))
+                jax.block_until_ready(out.composited.x)
+                big_mrays = float(out.rays) / (time.perf_counter() - t0) / 1e6
+                big_tracer = trc
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"bigroom[{trc}] failed: {e}", file=sys.stderr,
+                      flush=True)
     except Exception as e:  # noqa: BLE001 — keep the primary metric alive
         print(f"bigroom bench skipped: {e}", file=sys.stderr)
+
+    # secondary metric: bathroom2 stand-in — REAL bundled bathroom
+    # materials + textures on procedural geometry at the canonical
+    # 1600x900 (BASELINE config #3 shape). Skipped if the run is already
+    # deep into its time budget.
+    bath_spp = None
+    bath_mrays = None
+    if time.perf_counter() - t_start < 600.0:
+        try:
+            from fermat_tpu.scene.procedural import bathroom_standin
+
+            bmesh, bcam, btdir = bathroom_standin(n_boxes=8300)
+            bv = SceneView.build(bmesh, bcam, texture_dir=btdir)
+            for trc in ("binned", "cluster"):
+                try:
+                    bopts = PTOptions(max_path_length=6,
+                                      lobes=scene_lobes(bmesh.materials),
+                                      tracer=trc)
+                    out = render_pass(bv, bopts, 1600, 896, jnp.uint32(0))
+                    jax.block_until_ready(out.composited.x)
+                    t0 = time.perf_counter()
+                    out = render_pass(bv, bopts, 1600, 896, jnp.uint32(1))
+                    jax.block_until_ready(out.composited.x)
+                    dt = time.perf_counter() - t0
+                    bath_spp = 1.0 / dt
+                    bath_mrays = float(out.rays) / dt / 1e6
+                    break
+                except Exception as e:  # noqa: BLE001
+                    print(f"bathroom[{trc}] failed: {e}", file=sys.stderr,
+                          flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"bathroom bench skipped: {e}", file=sys.stderr)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     vs = 1.0
@@ -109,8 +185,13 @@ def main() -> None:
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),
     }
+    line["primary_path"] = mode
     if big_mrays is not None:
         line["bigroom_100k_1600x896_mrays"] = round(big_mrays, 3)
+        line["bigroom_tracer"] = big_tracer
+    if bath_spp is not None:
+        line["bathroom2_standin_1600x896_spp_s"] = round(bath_spp, 4)
+        line["bathroom2_standin_mrays"] = round(bath_mrays, 3)
     print(json.dumps(line))
 
 

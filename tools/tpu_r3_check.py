@@ -36,6 +36,45 @@ def stage(name):
     print(f"--- {name}", flush=True)
 
 
+# ---------------- stage 0: speed-of-light micro-bench ----------------
+# measures the roofline denominators on THIS chip (ROOFLINE.md): f32 VPU
+# throughput via a dependent-chain FMA loop (dense elementwise, no memory),
+# and HBM bandwidth via a big copy.
+try:
+    stage("speed-of-light micro")
+
+    @jax.jit
+    def fma_loop(x):
+        def body(i, v):
+            return v * 1.0000001 + 0.5
+        return jax.lax.fori_loop(0, 512, body, x)
+
+    x = jnp.ones((2048, 1024), jnp.float32)  # 2M lanes x 512 FMA = 2.1 GFLOP*2
+    jax.block_until_ready(fma_loop(x))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        x = fma_loop(x)
+    jax.block_until_ready(x)
+    dt = (time.perf_counter() - t0) / 8
+    flops = 2048 * 1024 * 512 * 2  # mul+add per element per iter
+    print(f"VPU f32 (dependent FMA chain): {flops/dt/1e12:.3f} Tflop/s",
+          flush=True)
+
+    @jax.jit
+    def copy(a):
+        return a * 1.0 + 1.0
+
+    big = jnp.zeros((4096, 8192), jnp.float32)  # 128 MB read + 128 MB write
+    jax.block_until_ready(copy(big))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        big = copy(big)
+    jax.block_until_ready(big)
+    dt = (time.perf_counter() - t0) / 8
+    print(f"HBM stream (r+w): {2*big.size*4/dt/1e9:.1f} GB/s", flush=True)
+except Exception:
+    traceback.print_exc()
+
 # ---------------- stage 1: binned exactness ----------------
 try:
     stage("binned 10k exactness")

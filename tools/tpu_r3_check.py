@@ -147,6 +147,83 @@ try:
 except Exception:
     traceback.print_exc()
 
+# ---------------- stage 2b: binned phase attribution ----------------
+try:
+    stage("binned phase attribution")
+    import functools
+    from fermat_tpu.ops import pallas_binned_trace as bt
+
+    boxes = (rcl.lo_x, rcl.lo_y, rcl.lo_z, rcl.hi_x, rcl.hi_y, rcl.hi_z)
+    n = o.x.shape[0]
+    tmaxb = jnp.full((n,), 3e38, jnp.float32)
+    tminb = jnp.full((n,), 1e-4, jnp.float32)
+
+    @jax.jit
+    def scan_once(last_e, last_c):
+        return bt._frontier_scan(boxes, o, d, tminb, tmaxb, last_e, last_c,
+                                 ordered=True)
+
+    le0 = jnp.full((n,), -3e38, jnp.float32)
+    lc0 = jnp.full((n,), -1, jnp.int32)
+    ent, cid = jax.block_until_ready(scan_once(le0, lc0))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        ent, cid = scan_once(le0, lc0)
+    jax.block_until_ready(cid)
+    print(f"frontier scan: {(time.perf_counter()-t0)/4*1e3:.1f} ms", flush=True)
+
+    srt = jax.jit(jnp.argsort)
+    jax.block_until_ready(srt(cid))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        p = srt(cid)
+    jax.block_until_ready(p)
+    print(f"argsort: {(time.perf_counter()-t0)/4*1e3:.1f} ms", flush=True)
+
+    @jax.jit
+    def kernel_once(cid):
+        perm = jnp.argsort(cid)
+        g = lambda a: a[perm]
+        rays_s = tuple(g(a) for a in (o.x, o.y, o.z, d.x, d.y, d.z,
+                                      tminb, tmaxb))
+        k = functools.partial(bt._binned_closest_kernel,
+                              n_units=rcl.tri.shape[0], u_steps=bt.U_STEPS)
+        return bt._run_kernel(k, ("f", "i", "f", "f", "f"), rcl.tri, rays_s,
+                              g(cid), bt.DEF_BLK)[0]
+
+    jax.block_until_ready(kernel_once(cid))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        r_ = kernel_once(cid)
+    jax.block_until_ready(r_)
+    print(f"sort+gather+kernel round: {(time.perf_counter()-t0)/4*1e3:.1f} ms",
+          flush=True)
+
+    # round count of the full trace (host loop mirror, cheap count)
+    @jax.jit
+    def count_rounds():
+        def cond(st):
+            r, alive, *_ = st
+            return (r < 4 * boxes[0].shape[1]) & alive
+
+        def body(st):
+            r, _a, tb, le, lc = st
+            e2, c2 = bt._frontier_scan(boxes, o, d, tminb, tb, le, lc,
+                                       ordered=True)
+            alive = jnp.any(c2 < bt._SENT)
+            # advance as if every frontier were tested and missed (upper
+            # bound on rounds; real rounds terminate earlier via t_best)
+            return r + 1, alive, tb, jnp.where(c2 < bt._SENT, e2, le), \
+                jnp.where(c2 < bt._SENT, c2, lc)
+
+        st = (jnp.int32(0), jnp.bool_(True), tmaxb, le0, lc0)
+        return jax.lax.while_loop(cond, body, st)[0]
+
+    print(f"upper-bound rounds (no-hit walk): {int(count_rounds())}",
+          flush=True)
+except Exception:
+    traceback.print_exc()
+
 # ---------------- stage 3: megakernel ----------------
 try:
     stage("mega parity 64x64")

@@ -430,13 +430,12 @@ def _mega_kernel(
     g_depth, g_tri, g_nx, g_ny, g_nz, g_px, g_py, g_pz,
     g_uvx, g_uvy, g_mat, g_dax, g_day, g_daz, g_sax, g_say, g_saz,
     rays_out,
-    *, n_tris: int, n_mats: int, n_lights: int, opts,
+    *, n_tris: int, n_mats: int, n_lights: int, res_x: int, opts,
 ):
     pix = pix_ref[:]  # (RB, 128) u32
     shape = pix.shape
     seed = seq_ref[0, 0, :].reshape(1, 128)
     inst = seq_ref[0, 1, :].reshape(1, 128)
-    resx_u = seq_ref[0, 2, :].reshape(1, 128)
     n_valid = seq_ref[0, 3, :].reshape(1, 128)
     seq = TiledSequence(seed=seed, instance=inst)
 
@@ -451,8 +450,10 @@ def _mega_kernel(
 
     # ---- camera ray gen (core/camera.generate_camera_rays) ----
     jx, jy = seq.sample_2d(pix, jnp.uint32(0))
-    pxf = (pix % resx_u).astype(jnp.float32)
-    pyf = (pix // resx_u).astype(jnp.float32)
+    # res_x is STATIC: constant-divisor div/mod lowers reliably in Mosaic
+    # (a vector divisor may not)
+    pxf = (pix % jnp.uint32(res_x)).astype(jnp.float32)
+    pyf = (pix // jnp.uint32(res_x)).astype(jnp.float32)
     ndc_x = (pxf + jx) * inv_rx
     ndc_y = (pyf + jy) * inv_ry
     dx_c = ndc_x * 2.0 - 1.0
@@ -691,10 +692,11 @@ def _mega_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tris", "n_mats", "n_lights", "opts", "n")
+    jax.jit,
+    static_argnames=("n_tris", "n_mats", "n_lights", "res_x", "opts", "n"),
 )
 def _mega_impl(tri, mat, light, cam, seq_tab, n: int,
-               n_tris: int, n_mats: int, n_lights: int, opts):
+               n_tris: int, n_mats: int, n_lights: int, res_x: int, opts):
     rays_per_block = _RB * 128
     n_pad = -(-n // rays_per_block) * rays_per_block
     r_total = n_pad // 128
@@ -707,7 +709,7 @@ def _mega_impl(tri, mat, light, cam, seq_tab, n: int,
     outs = pl.pallas_call(
         functools.partial(
             _mega_kernel, n_tris=n_tris, n_mats=n_mats, n_lights=n_lights,
-            opts=opts,
+            res_x=res_x, opts=opts,
         ),
         out_shape=[jax.ShapeDtypeStruct((r_total, 128), jnp.float32)] * n_out,
         grid=(g,),
@@ -745,7 +747,7 @@ def render_pass_mega(view, opts, res_x: int, res_y: int, instance,
 
     outs = _mega_impl(
         tb.tri, tb.mat, tb.light, tb.cam, seq_tab, n,
-        tb.n_tris, tb.n_mats, tb.n_lights, opts,
+        tb.n_tris, tb.n_mats, tb.n_lights, res_x, opts,
     )
     (ldx, ldy, ldz, lfx, lfy, lfz, lsx, lsy, lsz,
      dep, trif, nx, ny, nz, px, py, pz, uvx, uvy, matf,

@@ -224,6 +224,27 @@ try:
 except Exception:
     traceback.print_exc()
 
+# ---------------- stage 4: bigroom full pass, binned ----------------
+try:
+    stage("bigroom PT pass binned")
+    from fermat_tpu.core.camera import Camera
+
+    cam = Camera.create(eye=(0.0, 3.0, 10.0), aim=(0.0, 1.5, 0.0))
+    rv = SceneView.build(room, cam)
+    opts = PTOptions(max_path_length=6, lobes=scene_lobes(room.materials),
+                     tracer="binned")
+    out = render_pass(rv, opts, 1600, 896, jnp.uint32(0))
+    jax.block_until_ready(out.composited.x)
+    t0 = time.time()
+    out = render_pass(rv, opts, 1600, 896, jnp.uint32(1))
+    img = jax.block_until_ready(out.composited.x)
+    dt = time.time() - t0
+    print(f"bigroom 1600x896 binned pass: {dt:.2f}s  "
+          f"{float(out.rays)/dt/1e6:.2f} Mrays/s  mean={float(jnp.mean(img)):.4f}",
+          flush=True)
+except Exception:
+    traceback.print_exc()
+
 # ---------------- stage 3: megakernel ----------------
 try:
     stage("mega parity 64x64")
@@ -280,27 +301,6 @@ try:
         print(f"cornell512 {name}: {float(rays)/best/1e6:.2f} Mrays/s  "
               f"{best/n_passes*1e3:.1f} ms/pass  mean={float(jnp.mean(img))/n_passes:.4f}",
               flush=True)
-except Exception:
-    traceback.print_exc()
-
-# ---------------- stage 4: bigroom full pass, binned ----------------
-try:
-    stage("bigroom PT pass binned")
-    from fermat_tpu.core.camera import Camera
-
-    cam = Camera.create(eye=(0.0, 3.0, 10.0), aim=(0.0, 1.5, 0.0))
-    rv = SceneView.build(room, cam)
-    opts = PTOptions(max_path_length=6, lobes=scene_lobes(room.materials),
-                     tracer="binned")
-    out = render_pass(rv, opts, 1600, 896, jnp.uint32(0))
-    jax.block_until_ready(out.composited.x)
-    t0 = time.time()
-    out = render_pass(rv, opts, 1600, 896, jnp.uint32(1))
-    img = jax.block_until_ready(out.composited.x)
-    dt = time.time() - t0
-    print(f"bigroom 1600x896 binned pass: {dt:.2f}s  "
-          f"{float(out.rays)/dt/1e6:.2f} Mrays/s  mean={float(jnp.mean(img)):.4f}",
-          flush=True)
 except Exception:
     traceback.print_exc()
 

@@ -142,10 +142,14 @@ class TestEnvMapRendering:
         from fermat_tpu.integrators.pt import PTOptions, render_pass
 
         opts = PTOptions(max_path_length=2, rr=False, **opt_kw)
+        # jit the per-pass closure ONCE: re-tracing the integrator per pass
+        # is Python-bound (seconds per trace x 24 passes dominated this
+        # file's 6.5 min wall time even with a warm compile cache)
+        f = jax.jit(lambda v, inst: render_pass(v, opts, res, res, inst)
+                    .composited.stack())
         acc = 0.0
         for i in range(passes):
-            out = render_pass(scene_view, opts, res, res, jnp.uint32(seed0 + i))
-            acc = acc + np.asarray(out.composited.stack())
+            acc = acc + np.asarray(f(scene_view, jnp.uint32(seed0 + i)))
         return (acc / passes).reshape(res, res, 3)
 
     def _furnace_view(self, albedo):

@@ -2,8 +2,8 @@
 
 The reference's demo assets ship without their .obj geometry, so these
 scenes pair procedural geometry with the REAL bundled bathroom materials +
-texture set (VERDICT r2 #5). CPU-sized here; tools/tpu_bathroom_bench.py
-runs the 1600x900 TPU numbers recorded in bench.py's secondary metrics.
+texture set (VERDICT r2 #5). CPU-sized here; bench.py's secondary metrics
+capture the 1600x896 TPU numbers.
 """
 import jax
 import jax.numpy as jnp
@@ -31,12 +31,13 @@ class TestBathroomStandin:
                          lobes=scene_lobes(mesh.materials))
         res = 32
 
+        f = jax.jit(lambda v, inst: render_pass(v, opts, res, res, inst)
+                    .composited.stack())
+
         def render(passes, seed0=0):
             acc = 0.0
             for i in range(passes):
-                out = render_pass(view, opts, res, res,
-                                  jnp.uint32(seed0 + i))
-                acc = acc + np.asarray(out.composited.stack())
+                acc = acc + np.asarray(f(view, jnp.uint32(seed0 + i)))
             return acc / passes
 
         golden = render(10, seed0=100)

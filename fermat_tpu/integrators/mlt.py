@@ -233,6 +233,13 @@ class ChainState(NamedTuple):
     val_y: Array
     val_z: Array
     weight: Array  # (n,) RIS seed weight W
+    # env-terminated eye paths (s == 0, segment m escapes to the infinite
+    # light): the escape direction is chain state. BEYOND the reference,
+    # which stubs env lighting everywhere (pathtracer_core.h:1251).
+    env: Array = None  # (n,) bool
+    env_dx: Array = None
+    env_dy: Array = None
+    env_dz: Array = None
 
 
 def _lum(x: Array, y: Array, z: Array) -> Array:
@@ -468,7 +475,8 @@ def _st_swap_step(ctx: _EvalCtx, rng: _Rand, step_idx, state: ChainState,
 
     t_count = state.m + 1 - state.s
     s = state.s
-    live = state.weight > 0.0
+    live = state.weight > 0.0  # splat-liveness: EVERY live chain deposits
+    movable = live & (~state.env)  # env chains sit swaps out (null move)
 
     e_cols = lambda a: [a[:, j] for j in range(S_e)]
     l_cols = lambda a: [a[:, j] for j in range(LS)]
@@ -513,8 +521,8 @@ def _st_swap_step(ctx: _EvalCtx, rng: _Rand, step_idx, state: ChainState,
 
     # --- direction coin + feasibility -----------------------------------
     coin = rng.u(step_idx, 770) < 0.5
-    can_down = live & (s >= 1) & (t_count <= S_e)
-    can_up = live & (t_count >= 3) & (s <= LS)
+    can_down = movable & (s >= 1) & (t_count <= S_e)
+    can_up = movable & (t_count >= 3) & (s <= LS)
     do_down = coin & can_down
     do_up = (~coin) & can_up
 
@@ -771,12 +779,27 @@ def render_pass(
         "tri": jnp.zeros((n, K), jnp.int32), "u": zf((n, K)), "v": zf((n, K)),
         "valid": jnp.zeros((n, K), bool),
     }
-    strategies = []  # (s, m, rgb contribution)
+    strategies = []  # (s, m, rgb contribution); s == -1 marks env paths
+    d_rec = []  # per-step eye-walk directions (env escape candidates)
+
+    from fermat_tpu.scene.envmap import scene_env_radiance
 
     for i in range(K):
+        d_rec.append(d)
         hit = closest(o, d, jnp.float32(eps), jnp.float32(_BIG), alive)
         n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
         valid = alive & hit.hit_mask
+        if i >= 1:
+            # env-terminated path: segment i+1 escapes (i == 0, the
+            # directly-visible env, stays the additive QMC term of
+            # render_pass_fb — no double counting)
+            env_rad = scene_env_radiance(view, d)
+            env_msk = alive & ~hit.hit_mask
+            strategies.append((-1, i + 1, Vec3(
+                jnp.where(env_msk, e_thr.x * env_rad.x, 0.0),
+                jnp.where(env_msk, e_thr.y * env_rad.y, 0.0),
+                jnp.where(env_msk, e_thr.z * env_rad.z, 0.0),
+            )))
         tri_c = jnp.maximum(hit.tri, 0)
         pos, gn, sn, _uv, mat_id = _interp(view, tri_c, hit.u, hit.v)
         wi = -d
@@ -927,14 +950,21 @@ def render_pass(
     s_arr = jnp.asarray([st[0] for st in strategies], jnp.int32)
     m_arr = jnp.asarray([st[1] for st in strategies], jnp.int32)
 
+    s_pick = s_arr[pick]
+    m_pick = m_arr[pick]
+    is_env = s_pick < 0
+    # escape direction of the picked env path: the eye-walk direction at
+    # walk step m-1 (segment m)
+    esc_d = _sel_v(jnp.clip(m_pick - 1, 0, K - 1), d_rec)
     state = ChainState(
         uv_x=uv0_x, uv_y=uv0_y,
         e_tri=e_rec["tri"], e_u=e_rec["u"], e_v=e_rec["v"],
         l0_tri=ltri, l0_u=lb0, l0_v=lb1,
         l_tri=l_rec["tri"], l_u=l_rec["u"], l_v=l_rec["v"],
-        s=s_arr[pick], m=m_arr[pick],
+        s=jnp.where(is_env, 0, s_pick), m=m_pick,
         val_x=jnp.zeros(n), val_y=jnp.zeros(n), val_z=jnp.zeros(n),
         weight=weight,
+        env=is_env, env_dx=esc_d.x, env_dy=esc_d.y, env_dz=esc_d.z,
     )
 
     # -------------------------------------------------------------------
@@ -943,8 +973,11 @@ def render_pass(
     def step(step_idx, carry):
         state, splat, n_rays = carry
         enable = step_idx > 0
+        is_env = state.env  # env-terminated eye paths (segment m escapes)
         t_count = state.m + 1 - state.s  # eye vertices incl. camera (>= 2)
-        n_eye_seg = t_count - 1  # traced eye segments
+        # env chains store surface vertices x_1..x_{m-1}: m-1 traced
+        # segments; the m-th segment is the escape (handled at end terms)
+        n_eye_seg = jnp.where(is_env, state.m - 1, t_count - 1)
         n_light_seg = jnp.maximum(state.s - 1, 0)  # traced light segments
 
         # --- screen perturbation ---
@@ -1019,14 +1052,15 @@ def render_pass(
         )
 
         # --- end terms ---
-        e_end_idx = t_count - 2  # slot of x_{t-1}
+        # env chains: the end SURFACE vertex is x_{m-1} (slot m-2)
+        e_end_idx = jnp.where(is_env, state.m - 2, t_count - 2)
         ex_pos = _sel_v(e_end_idx, e_end["pos"])
         ex_gn = _sel_v(e_end_idx, e_end["gn"])
         ex_sn = _sel_v(e_end_idx, e_end["sn"])
         ex_mat = _sel_a(e_end_idx, e_end["mat"])
         ex_in = _sel_v(e_end_idx, e_end["in"])
 
-        is_s0 = state.s == 0
+        is_s0 = (state.s == 0) & ~is_env
         is_s1 = state.s == 1
         is_s2 = state.s >= 2
 
@@ -1057,6 +1091,41 @@ def render_pass(
             _params_of(view, ex_mat),
             to_local(ex_in, et, eb, ex_sn), to_local(cdir, et, eb, ex_sn), lobes,
         )
+
+        # --- env escape segment (env chains only): perturb the stored
+        # escape direction, require it to still escape, multiply the end
+        # scatter's f * cos and the env radiance ---
+        esc_old = Vec3(state.env_dx, state.env_dy, state.env_dz)
+        uz2 = rng.u(step_idx, 600)
+        uz3 = rng.u(step_idx, 601)
+        u_pesc = rng.u(step_idx, 602)
+        do_esc = enable & is_env & (u_pesc < pe_tot)
+        esc_new = _where3(
+            do_esc,
+            exp_spherical_perturbation(esc_old, uz2, uz3,
+                                       opts.perturbation_radius),
+            esc_old,
+        )
+        f_esc = bsdf_f(
+            _params_of(view, ex_mat),
+            to_local(ex_in, et, eb, ex_sn),
+            to_local(esc_new, et, eb, ex_sn), lobes,
+        )
+        cos_esc = jnp.abs(dot(ex_sn, esc_new))
+        so_esc = _offset_origin(ex_pos, ex_gn, esc_new, eps)
+        esc_active = is_env & ok_new & (state.weight > 0.0)
+        hit_esc = ctx.closest(so_esc, esc_new, jnp.float32(eps),
+                              jnp.float32(_BIG), esc_active)
+        n_rays = n_rays + jnp.sum(esc_active.astype(jnp.float32))
+        ok_new = ok_new & (~is_env | ~hit_esc.hit_mask)
+        from fermat_tpu.scene.envmap import scene_env_radiance as _env_rad
+
+        e_l = _env_rad(view, esc_new)
+        v_env = Vec3(
+            f_esc.x * cos_esc * e_l.x,
+            f_esc.y * cos_esc * e_l.y,
+            f_esc.z * cos_esc * e_l.z,
+        )
         cos_ex = jnp.abs(dot(ex_sn, cdir))
         cos_ly = jnp.abs(dot(ly_sn, cdir))
         g_conn = cos_ex * cos_ly / cd2
@@ -1082,12 +1151,12 @@ def render_pass(
                       f_eye.z * g_conn * lfac.z)
         # connection visibility
         so = _offset_origin(ex_pos, ex_gn, cdir, eps)
-        need_vis = (~is_s0) & ok_new
+        need_vis = (~is_s0) & (~is_env) & ok_new
         occ = anyhit(so, cdir, jnp.float32(0.0), cd * (1.0 - 1e-3), need_vis)
         n_rays = n_rays + jnp.sum(need_vis.astype(jnp.float32))
         v_conn = _where3(occ, Vec3.zeros((n,)), v_conn)
 
-        v_end = _where3(is_s0, v_s0, v_conn)
+        v_end = _where3(is_env, v_env, _where3(is_s0, v_s0, v_conn))
         Vx = Vx * v_end.x
         Vy = Vy * v_end.y
         Vz = Vz * v_end.z
@@ -1149,6 +1218,9 @@ def render_pass(
             val_x=jnp.where(accept, Vx, state.val_x),
             val_y=jnp.where(accept, Vy, state.val_y),
             val_z=jnp.where(accept, Vz, state.val_z),
+            env_dx=jnp.where(accept & is_env, esc_new.x, state.env_dx),
+            env_dy=jnp.where(accept & is_env, esc_new.y, state.env_dy),
+            env_dz=jnp.where(accept & is_env, esc_new.z, state.env_dz),
         )
         return state, splat, n_rays
 

@@ -144,6 +144,8 @@ class _Walk(NamedTuple):
     e_pdf_in: list  # solid-angle pdf of the decision that made this vertex
     e_cos_in: list  # |dot(sn, wi)|
     e_d2: list  # squared incoming segment length
+    e_d: list  # eye-walk direction per step (env escape candidates)
+    e_esc: list  # escaped-at-this-step mask
     # light origin y_0
     l0_tri: Array
     l0_pos: Vec3
@@ -277,11 +279,15 @@ def _walk(view: SceneView, opts: CMLTOptions, closest, cam: CameraSampler,
     alive = jnp.ones(n, bool)
     pdf_in_sa = jnp.zeros(n, jnp.float32)  # camera slot: unused by swaps
     E = {k: [] for k in ("tri", "u", "v", "valid", "pos", "gn", "sn", "mat",
-                         "wi", "thr", "dvcm", "dvc", "pdf_in", "cos_in", "d2")}
+                         "wi", "thr", "dvcm", "dvc", "pdf_in", "cos_in", "d2",
+                         "d", "esc")}
     for i in range(ET):
         hit = closest(o, d, jnp.float32(eps), jnp.float32(_BIG), alive)
         n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
         valid = alive & hit.hit_mask
+        # env-escape record: the eye walk left the scene on segment i+1
+        E["d"].append(d)
+        E["esc"].append(alive & ~hit.hit_mask)
         tri_c = jnp.maximum(hit.tri, 0)
         pos, gn, sn, _uv, mat_id = mesh.interpolate(tri_c, hit.u, hit.v)
         wi = -d
@@ -334,6 +340,7 @@ def _walk(view: SceneView, opts: CMLTOptions, closest, cam: CameraSampler,
         e_pos=E["pos"], e_gn=E["gn"], e_sn=E["sn"], e_mat=E["mat"],
         e_wi=E["wi"], e_thr=E["thr"], e_dvcm=E["dvcm"], e_dvc=E["dvc"],
         e_pdf_in=E["pdf_in"], e_cos_in=E["cos_in"], e_d2=E["d2"],
+        e_d=E["d"], e_esc=E["esc"],
         l0_tri=ltri, l0_pos=lpos, l0_n=ln, l0_le=lle, l0_pdf_a=lpdf_a,
         l0_valid=has_light,
         l_tri=L["tri"], l_u=L["u"], l_v=L["v"], l_valid=L["valid"],
@@ -449,8 +456,8 @@ def _connect(view: SceneView, opts: CMLTOptions, anyhit, rec: _Walk,
     ok2 = (g2 > 0.0) & ((fl.x + fl.y + fl.z) > 0.0)
 
     # one shadow ray for the connection lanes
-    need_vis = (~is0) & ex_valid & ly_valid & ((fe.x + fe.y + fe.z) > 0.0) \
-        & jnp.where(is1, ok1, ok2)
+    need_vis = (~is0) & (s >= 1) & ex_valid & ly_valid \
+        & ((fe.x + fe.y + fe.z) > 0.0) & jnp.where(is1, ok1, ok2)
     so = _offset_origin(ex_pos, ex_gn, cdir, eps)
     occ = anyhit(so, cdir, jnp.float32(0.0), cd * (1.0 - 1e-3), need_vis)
     n_rays = n_rays + jnp.sum(need_vis.astype(jnp.float32))
@@ -459,6 +466,24 @@ def _connect(view: SceneView, opts: CMLTOptions, anyhit, rec: _Walk,
     Fc = _where3(is1, F1, F2)
     Fc = _where3(lit, Fc, Vec3.zeros(Fc.x.shape))
     F = _where3(is0, F0, Fc)
+
+    # ---- s = -1: env-terminated eye path (escape on segment t) ----
+    # weight 1: no other strategy reaches the infinite light (the chains
+    # do no env NEE). BEYOND the reference (env stubbed everywhere).
+    is_env = s < 0
+    from fermat_tpu.scene.envmap import scene_env_radiance as _env_rad
+
+    i_esc = jnp.clip(t - 1, 0, len(rec.e_esc) - 1)
+    esc_ok = _sel_a(i_esc, [v.astype(jnp.int32) for v in rec.e_esc]) > 0
+    d_esc = _sel_v(i_esc, rec.e_d)
+    thr_esc = _sel_v(i_esc, rec.e_thr)
+    e_l = _env_rad(view, d_esc)
+    menv = is_env & esc_ok
+    F = _where3(
+        menv,
+        Vec3(thr_esc.x * e_l.x, thr_esc.y * e_l.y, thr_esc.z * e_l.z),
+        _where3(is_env, Vec3.zeros(F.x.shape), F),
+    )
     # sanitize: dead lanes / inf paths carry exact zero
     good = jnp.isfinite(F.x + F.y + F.z)
     F = Vec3(jnp.where(good, F.x, 0.0), jnp.where(good, F.y, 0.0),
@@ -500,6 +525,10 @@ def init_state(view: SceneView, opts: CMLTOptions, res_x: int, res_y: int,
     )
     total = jnp.zeros(())
     charts = [(s_, t_) for t_ in range(2, K + 2) for s_ in range(0, K + 2 - t_)]
+    # env-terminated charts: escape on segment t (t surface verts incl.
+    # camera... x_1..x_{t-1}; m = t <= K); t = 1 (directly-visible env)
+    # stays the additive QMC term of the fb adapter
+    charts += [(-1, t_) for t_ in range(2, K + 1)]
 
     # GLOBAL luminance-proportional seeding (cmlt.cu seeding follows
     # pssmlt.cu:326-345: one CDF over ALL candidate (path, chart) pairs,
@@ -616,8 +645,8 @@ def _swap_proposal(view, opts, rec, state, key, n):
     u_aux2 = uniform_from_bits(hash_combine(key ^ _U32(0x3C6EF3), lane))
 
     k_seg = s + t - 1
-    can_up = (t >= 3) & (s + 1 <= k_seg - 1)  # t' >= 2
-    can_dn = s >= 1
+    can_up = (s >= 0) & (t >= 3) & (s + 1 <= k_seg - 1)  # t' >= 2
+    can_dn = s >= 1  # env charts (s == -1) sit swaps out
     go_up = jnp.where(can_up & can_dn, u_dir < 0.5, can_up)
     valid = can_up | can_dn
     p_fwd = jnp.where(can_up & can_dn, 0.5, 1.0)
@@ -771,6 +800,10 @@ def step(view: SceneView, opts: CMLTOptions, res_x: int, res_y: int,
 
     K = opts.max_path_length
     charts = [(s_, t_) for t_ in range(2, K + 2) for s_ in range(0, K + 2 - t_)]
+    # env-terminated charts: escape on segment t (t surface verts incl.
+    # camera... x_1..x_{t-1}; m = t <= K); t = 1 (directly-visible env)
+    # stays the additive QMC term of the fb adapter
+    charts += [(-1, t_) for t_ in range(2, K + 1)]
     chart_s = jnp.asarray([c_[0] for c_ in charts], jnp.int32)
     chart_t = jnp.asarray([c_[1] for c_ in charts], jnp.int32)
 

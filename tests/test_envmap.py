@@ -239,9 +239,8 @@ class TestEnvMapRendering:
 
     def test_mcmc_direct_env_term(self):
         """Directly-visible env stays an additive QMC term outside the
-        chains for both MCMC path-space renderers; CMLT's charted chains
-        still exclude env-TERMINATED paths (documented gap), while MLT's
-        chains now carry them (test_mlt_env_paths_match_pt)."""
+        chains for both MCMC path-space renderers (no double counting:
+        the chain path spaces start at escape depth 2)."""
         from fermat_tpu.render.context import RenderingContext
 
         cam = Camera.create((0, 2.0, 2.0), (0, 0, 0), (0, 1, 0), 0.7)
@@ -254,11 +253,13 @@ class TestEnvMapRendering:
             assert img.mean() > 0.2, (name, img.mean())  # sky visible
 
     @pytest.mark.heavy
-    def test_mlt_env_paths_match_pt(self):
-        """MLT chains TERMINATE on the environment (env escape direction as
-        chain state; VERDICT r2 missing #2 — beyond the reference, which
-        stubs env lighting everywhere): env-lit surface transport must
-        reproduce PT, not just the direct-visibility term."""
+    def test_mcmc_env_paths_match_pt(self):
+        """MLT and CMLT chains TERMINATE on the environment (VERDICT r2
+        missing #2 — beyond the reference, which stubs env lighting
+        everywhere): MLT carries the escape direction as chain state with
+        exp-kernel mutations; CMLT adds env-terminated charts to its PSS
+        chart family. Env-lit surface transport must reproduce PT, not
+        just the direct-visibility term."""
         from fermat_tpu.render.context import RenderingContext
 
         cam = Camera.create((0, 2.0, 2.0), (0, 0, 0), (0, 1, 0), 0.7)
@@ -271,15 +272,19 @@ class TestEnvMapRendering:
             return np.asarray(ctx.render(passes).composited)
 
         ref = render("pt", 8)
-        img = render("mlt", 24, steps_per_pass=8)
-        rel = abs(img.mean() - ref.mean()) / ref.mean()
-        assert np.isfinite(img).all()
-        assert rel < 0.05, (img.mean(), ref.mean())
-        # the floor (chain-owned pixels) specifically must be lit by the
-        # env-terminated chains, not just the sky QMC term
         msk = ref[..., 0] > 0.75
-        floor_rel = abs(img[~msk].mean() - ref[~msk].mean()) / ref[~msk].mean()
-        assert floor_rel < 0.08, (img[~msk].mean(), ref[~msk].mean())
+        for name, passes, kw in (("mlt", 24, dict(steps_per_pass=8)),
+                                 ("cmlt", 32, {})):
+            img = render(name, passes, **kw)
+            rel = abs(img.mean() - ref.mean()) / ref.mean()
+            assert np.isfinite(img).all(), name
+            assert rel < 0.05, (name, img.mean(), ref.mean())
+            # the floor (chain-owned pixels) specifically must be lit by
+            # env-terminated chains, not just the sky QMC term
+            floor_rel = (abs(img[~msk].mean() - ref[~msk].mean())
+                         / ref[~msk].mean())
+            assert floor_rel < 0.08, (name, img[~msk].mean(),
+                                      ref[~msk].mean())
 
     @pytest.mark.heavy
     def test_pssmlt_inherits_env(self):

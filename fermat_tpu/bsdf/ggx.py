@@ -312,5 +312,6 @@ def glossy_reflectance(roughness: Array, cos_theta: Array) -> Array:
         (iota == c0[:, None]) * (1.0 - fc)[:, None]
         + (iota == c1[:, None]) * fc[:, None]
     )
-    rows = jnp.dot(w_r, t, preferred_element_type=jnp.float32)  # (N, res)
+    rows = jnp.dot(w_r, t, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # (N, res)
     return jnp.sum(rows * w_c, axis=1)

@@ -61,7 +61,8 @@ def _fetch_params(roughness: Array, cos_t: Array):
     planes = jnp.asarray(np.concatenate([tab, mag[..., None]], -1))  # (R,R,5)
     outs = []
     for k in range(5):
-        rows = jnp.dot(w_r, planes[:, :, k], preferred_element_type=jnp.float32)
+        rows = jnp.dot(w_r, planes[:, :, k], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         outs.append(jnp.sum(rows * w_c, axis=1))
     return outs  # m00, m11, m02, m20, magnitude
 

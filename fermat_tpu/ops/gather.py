@@ -34,7 +34,8 @@ def one_hot_matmul_gather(table: Array, idx: Array) -> Array:
     tp = jnp.pad(table, ((0, rp - r), (0, 0)))
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, rp), 1)
     onehot = (idx.astype(jnp.int32)[:, None] == iota).astype(table.dtype)
-    return jnp.dot(onehot, tp, preferred_element_type=jnp.float32)
+    return jnp.dot(onehot, tp, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _onehot_kernel(idx_ref, table_ref, out_ref):
@@ -42,7 +43,8 @@ def _onehot_kernel(idx_ref, table_ref, out_ref):
     rp = table_ref.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, rp), 1)
     onehot = (idx_ref[:] == iota).astype(jnp.float32)  # (blk, rp) in VMEM
-    out_ref[:] = jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _pallas_onehot_gather(table: Array, idx: Array, block: int = 1024) -> Array:

@@ -342,10 +342,11 @@ def _trace_any(tri_ref, n_tris, o, d, tmin, t_lim, able):
             & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
             & (tt > tmin) & (tt < t_lim)
         )
-        return occ | ok
+        # f32 carry: Mosaic cannot legalize i1 vectors as scf.for loop state
+        return jnp.maximum(occ, jnp.where(ok, 1.0, 0.0))
 
-    occ = jax.lax.fori_loop(0, n_tris, body, jnp.zeros(shape, bool))
-    return occ & able
+    occ = jax.lax.fori_loop(0, n_tris, body, jnp.zeros(shape, jnp.float32))
+    return (occ > 0.0) & able
 
 
 def _fetch_materials(mat_ref, n_mats, mid):
@@ -452,8 +453,10 @@ def _mega_kernel(
     jx, jy = seq.sample_2d(pix, jnp.uint32(0))
     # res_x is STATIC: constant-divisor div/mod lowers reliably in Mosaic
     # (a vector divisor may not)
-    pxf = (pix % jnp.uint32(res_x)).astype(jnp.float32)
-    pyf = (pix // jnp.uint32(res_x)).astype(jnp.float32)
+    # route through int32: Mosaic has no uint32->float32 lowering, and both
+    # values are < 2^31 (pixel index / coordinate)
+    pxf = (pix % jnp.uint32(res_x)).astype(jnp.int32).astype(jnp.float32)
+    pyf = (pix // jnp.uint32(res_x)).astype(jnp.int32).astype(jnp.float32)
     ndc_x = (pxf + jx) * inv_rx
     ndc_y = (pyf + jy) * inv_ry
     dx_c = ndc_x * 2.0 - 1.0
@@ -484,7 +487,10 @@ def _mega_kernel(
         return (one(ld, 0), one(lf, 1), one(ls, 2))
 
     def shade_bounce(first, b, c):
-        (o, d, thr, alive, prev_pdf, channel, ld, lf, ls, rays, gbuf) = c
+        (o, d, thr, alive_f, prev_pdf, channel, ld, lf, ls, rays, gbuf) = c
+        # alive rides the loop carry as f32 (Mosaic cannot legalize i1
+        # vectors as scf.for loop state); bool locally
+        alive = alive_f > 0.0
         t_lim = jnp.where(alive, _BIG, -1.0)
         rays = rays + jnp.where(alive, 1.0, 0.0)
         valid, ht, pos, gn, sn, uv, midf, pdf_area_hit = _trace_closest(
@@ -656,12 +662,13 @@ def _mega_kernel(
             jnp.where(new_alive, new_thr.z, 0.0),
         )
         new_o = _offset_origin(pos, gn, wo_world, eps)
-        return (new_o, wo_world, new_thr, new_alive, s.pdf, new_channel,
+        return (new_o, wo_world, new_thr,
+                jnp.where(new_alive, 1.0, 0.0), s.pdf, new_channel,
                 ld, lf, ls, rays, gbuf)
 
     carry = (
         o0, d0, Vec3(jnp.ones(shape), jnp.ones(shape), jnp.ones(shape)),
-        alive0, zero, jnp.zeros(shape, jnp.int32),
+        jnp.where(alive0, 1.0, 0.0), zero, jnp.zeros(shape, jnp.int32),
         z3, z3, z3, zero, None,
     )
     carry = shade_bounce(True, 0, carry)

@@ -104,71 +104,28 @@ def main() -> None:
 
     mrays = total_rays / best / 1e6
 
-    # secondary metric: the 99.6k-tri big_room through the HBM-resident
-    # clustered tracer (bathroom2-class scaling stand-in, VERDICT r1 #2).
-    # One pass, single timed repeat — the dense CornellBox number above
-    # stays the primary regression metric.
-    big_mrays = None
-    big_tracer = None
-    try:
-        from fermat_tpu.core.camera import Camera
-        from fermat_tpu.scene.procedural import big_room
-
-        room = big_room(n_boxes=8300)
-        cam = Camera.create(eye=(0.0, 3.0, 10.0), aim=(0.0, 1.5, 0.0))
-        rv = SceneView.build(room, cam)
-        # round-3 binned-wavefront tracer; fall back to the round-2
-        # cluster tracer if the new kernel fails on hardware
-        for trc in ("binned", "cluster"):
-            try:
-                ropts = PTOptions(max_path_length=6,
-                                  lobes=scene_lobes(room.materials),
-                                  tracer=trc)
-                out = render_pass(rv, ropts, 1600, 896, jnp.uint32(0))
-                jax.block_until_ready(out.composited.x)
-                t0 = time.perf_counter()
-                out = render_pass(rv, ropts, 1600, 896, jnp.uint32(1))
-                jax.block_until_ready(out.composited.x)
-                big_mrays = float(out.rays) / (time.perf_counter() - t0) / 1e6
-                big_tracer = trc
-                break
-            except Exception as e:  # noqa: BLE001
-                print(f"bigroom[{trc}] failed: {e}", file=sys.stderr,
-                      flush=True)
-    except Exception as e:  # noqa: BLE001 — keep the primary metric alive
-        print(f"bigroom bench skipped: {e}", file=sys.stderr)
-
-    # secondary metric: bathroom2 stand-in — REAL bundled bathroom
-    # materials + textures on procedural geometry at the canonical
-    # 1600x900 (BASELINE config #3 shape). Skipped if the run is already
-    # deep into its time budget.
-    bath_spp = None
-    bath_mrays = None
+    # secondary metrics (bigroom + bathroom2 stand-in at 1600x896) run in
+    # a SUBPROCESS: a Mosaic kernel fault poisons the TPU client for its
+    # whole process, so the large-scene tracers must never share a
+    # process with the primary metric above (learned the hard way —
+    # tpu_r3_check round 1 lost every stage after a binned-tracer fault).
+    secondaries = {}
     if time.perf_counter() - t_start < 600.0:
-        try:
-            from fermat_tpu.scene.procedural import bathroom_standin
+        import subprocess
 
-            bmesh, bcam, btdir = bathroom_standin(n_boxes=8300)
-            bv = SceneView.build(bmesh, bcam, texture_dir=btdir)
-            for trc in ("binned", "cluster"):
-                try:
-                    bopts = PTOptions(max_path_length=6,
-                                      lobes=scene_lobes(bmesh.materials),
-                                      tracer=trc)
-                    out = render_pass(bv, bopts, 1600, 896, jnp.uint32(0))
-                    jax.block_until_ready(out.composited.x)
-                    t0 = time.perf_counter()
-                    out = render_pass(bv, bopts, 1600, 896, jnp.uint32(1))
-                    jax.block_until_ready(out.composited.x)
-                    dt = time.perf_counter() - t0
-                    bath_spp = 1.0 / dt
-                    bath_mrays = float(out.rays) / dt / 1e6
-                    break
-                except Exception as e:  # noqa: BLE001
-                    print(f"bathroom[{trc}] failed: {e}", file=sys.stderr,
-                          flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"bathroom bench skipped: {e}", file=sys.stderr)
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "bench_secondaries.py")],
+                capture_output=True, text=True, timeout=1500.0,
+            )
+            if r.stderr.strip():
+                print(r.stderr.strip(), file=sys.stderr, flush=True)
+            if r.returncode == 0 and r.stdout.strip():
+                secondaries = json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 — keep the primary alive
+            print(f"secondary benches skipped: {e}", file=sys.stderr)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     vs = 1.0
@@ -186,12 +143,7 @@ def main() -> None:
         "vs_baseline": round(vs, 3),
     }
     line["primary_path"] = mode
-    if big_mrays is not None:
-        line["bigroom_100k_1600x896_mrays"] = round(big_mrays, 3)
-        line["bigroom_tracer"] = big_tracer
-    if bath_spp is not None:
-        line["bathroom2_standin_1600x896_spp_s"] = round(bath_spp, 4)
-        line["bathroom2_standin_mrays"] = round(bath_mrays, 3)
+    line.update(secondaries)
     print(json.dumps(line))
 
 

@@ -83,7 +83,7 @@ class PTOptions(NamedTuple):
     # units give compaction no occupancy win, so masked is the default.
     queue_compaction: bool = False
     ray_eps: float = 1.0e-4  # self-intersection offset (scene units)
-    tracer: str = "auto"  # "bvh" | "brute" | "pallas" | "cluster" | "binned" | "auto"
+    tracer: str = "auto"  # bvh|brute|pallas|cluster|binned|frontier|mega|auto
     dims_per_bounce: int = 8
     # static lobe mask (dr, dt, gr, gt) — auto-set from the scene's materials
     # by RenderingContext (composite.scene_lobes); disabled lobes compile out
@@ -110,7 +110,7 @@ def _trace_mode(n_triangles: int, opts: PTOptions, has_clusters: bool) -> str:
         if n_triangles <= 4096:
             mode = "pallas" if on_tpu else "brute"
         elif on_tpu and has_clusters:
-            mode = "cluster"
+            mode = "frontier"
         else:
             mode = "bvh"
     return mode
@@ -164,6 +164,14 @@ def _make_anyhit(mesh, bvh, clusters, mode: str):
             return trace_any_binned(clusters, o, d, tmin, tmax, active)
 
         return f
+    if mode == "frontier":
+        from fermat_tpu.ops.pallas_frontier_trace import trace_any_frontier
+
+        def f(o, d, tmin, tmax, active):
+            o, d, tmin, tmax, active = _detach_args(o, d, tmin, tmax, active)
+            return trace_any_frontier(clusters, o, d, tmin, tmax, active)
+
+        return f
     if mode == "pallas":
         from fermat_tpu.ops.pallas_trace import trace_any_pallas
 
@@ -207,6 +215,14 @@ def _pick_tracers(view: SceneView, opts: PTOptions):
             o, d, tmin, tmax, active = _detach_args(o, d, tmin, tmax, active)
             return _detach_hit(
                 trace_closest_binned(view.clusters, o, d, tmin, tmax, active))
+    elif mode == "frontier":
+        from fermat_tpu.ops.pallas_frontier_trace import trace_closest_frontier
+
+        def closest(o, d, tmin, tmax, active):
+            o, d, tmin, tmax, active = _detach_args(o, d, tmin, tmax, active)
+            return _detach_hit(
+                trace_closest_frontier(view.clusters, o, d, tmin, tmax,
+                                       active))
     elif mode == "pallas":
         from fermat_tpu.ops.pallas_trace import trace_closest_pallas
 

@@ -1,0 +1,500 @@
+"""Pallas TPU kernels: per-ray frontier cluster traversal (large scenes).
+
+Reference analog: RTContext::trace / trace_shadow over the RTX BVH
+(src/rt.cpp:558-650) — specifically the per-ray front-to-back ordered
+traversal with per-ray t_best culling that an RT core performs.
+
+Third-generation large-scene tracer, informed by measurements of the two
+previous designs:
+
+  * round-2 cluster tracer (ops/pallas_cluster_trace): one in-kernel
+    near-to-far visit loop per 512-ray block, but the visit eligibility
+    was the BLOCK-MIN entry vs the BLOCK-MAX t_best — on incoherent
+    room-scale wavefronts a block visited ~775 of 784 clusters
+    (brute force; 0.15 Mrays/s on the 99.6k-tri big_room).
+  * round-3 binned tracer (ops/pallas_binned_trace): exact per-ray visit
+    sets, but each visit ROUND is a separate XLA dispatch doing a full
+    (N x Cp) frontier rescan + argsort; with hundreds of rounds the
+    1.43M-ray trace ran for minutes and tripped the device/RPC deadline
+    (tools/tpu_binned_bisect.py: every phase passes in isolation; the
+    composed while_loop dies at scale).
+
+This kernel keeps BOTH properties: the whole ordered walk stays inside
+ONE kernel launch per block (no per-round dispatches), and eligibility
+is PER-RAY. The trick is a per-block entry matrix E[r, c] = slab entry
+distance of ray r into cluster c (+BIG on miss), built once per block
+into VMEM scratch (BLK x Cp f32; 512 x 896 = 1.8 MB for big_room —
+v5e has 128 MB of VMEM). The visit loop then:
+
+  1. picks the globally nearest (ray, cluster) pair still eligible
+     (E < per-ray t_best), i.e. exact front-to-back order over the
+     union of per-ray needed sets;
+  2. marks the cluster's E column visited (+BIG) and prefetches the
+     NEXT cluster's (16, 128) triangle rectangle (double-buffered DMA,
+     same proven schedule as the cluster tracer);
+  3. Moller-Trumbore-tests ALL block rays against the cluster
+     (dense (BLK, 128) tile — testing non-needing rays is free) and
+     tightens per-ray t_best.
+
+A cluster is skipped iff NO ray's slab entry beats that ray's own
+current best hit — the exact per-ray early-out of an ordered BVH walk,
+at block granularity. Visits per block = |union of per-ray needed
+sets|, the minimum achievable without per-lane control flow.
+
+Rays ride the sublane dim as (BLK, 1) columns; triangle tiles ride the
+128 lanes. Triangle data stays HBM-resident; VMEM bounds only the
+CLUSTER COUNT (Cp <= 4096 -> 8 MB E at BLK=512), not the scene.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fermat_tpu.accel.cluster import CLUSTER, ClusterView
+from fermat_tpu.accel.traverse import Hit
+from fermat_tpu.core.math import Vec3
+from fermat_tpu.ops.pallas_cluster_trace import (
+    _argmin_row,
+    _cluster_dma,
+    _mt_tile,
+    _sort_perm,
+)
+
+
+def _sort_perm_packed(clusters, o, d, tmin_b, tmax_b):
+    """_sort_perm with DEAD RAYS (tmax <= tmin: masked-off wavefront
+    lanes) packed LAST: a block of dead rays has an all-BIG E matrix and
+    exits after one pick, so segregating them makes late-bounce traces
+    (mostly dead lanes after RR) nearly free instead of diluting every
+    block. Alive rays keep the morton+octant coherence order."""
+    from fermat_tpu.core.morton import morton3d
+
+    lo = (jnp.min(clusters.lo_x), jnp.min(clusters.lo_y),
+          jnp.min(clusters.lo_z))
+    hi = (jnp.max(clusters.hi_x), jnp.max(clusters.hi_y),
+          jnp.max(clusters.hi_z))
+    inv = tuple(1.0 / jnp.maximum(h - l, 1e-20) for l, h in zip(lo, hi))
+    nx = (o.x - lo[0]) * inv[0]
+    ny = (o.y - lo[1]) * inv[1]
+    nz = (o.z - lo[2]) * inv[2]
+    m = morton3d(nx, ny, nz) >> 15
+    octant = (
+        (d.x < 0).astype(jnp.uint32) * 4
+        + (d.y < 0).astype(jnp.uint32) * 2
+        + (d.z < 0).astype(jnp.uint32)
+    )
+    dead = (tmax_b <= tmin_b).astype(jnp.uint32)
+    return jnp.argsort((dead << 18) | (m << 3) | octant)
+
+Array = jax.Array
+
+import os as _os
+
+# block size: rays per grid block (per-block E matrix + MT tile height).
+# Env override for hardware A/B experiments (tools/tpu_pass_attrib.py).
+DEF_BLK = int(_os.environ.get("FERMAT_FRONTIER_BLK", "512"))
+_BIG = 3.0e38
+MAX_CP = 4096  # E-matrix VMEM gate: 512 x 4096 x 4 B = 8 MB
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _build_entry_matrix(
+    e_ref, ox, oy, oz, dx, dy, dz, tmin, t_lim0,
+    lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref, n_gtiles: int,
+):
+    """E[r, c] = slab entry of ray r into cluster c; +BIG on miss/empty.
+
+    Written tile-by-tile into the (BLK, Cp) VMEM scratch. t_lim0 is the
+    per-ray INITIAL limit (tmax; -1 rows for padded/inactive rays make
+    every E entry BIG so those rays never cause visits)."""
+    inv = lambda c: jnp.where(
+        jnp.abs(c) > 1e-20, 1.0 / jnp.where(c == 0.0, 1.0, c),
+        jnp.where(c >= 0, 1e20, -1e20),
+    )
+    idx, idy, idz = inv(dx), inv(dy), inv(dz)
+    for gt in range(n_gtiles):
+        s = gt * 128
+        ld = lambda ref: ref[0, pl.ds(s, 128)].reshape(1, 128)
+        lox, loy, loz = ld(lox_ref), ld(loy_ref), ld(loz_ref)
+        hix, hiy, hiz = ld(hix_ref), ld(hiy_ref), ld(hiz_ref)
+        t0x = (lox - ox) * idx
+        t1x = (hix - ox) * idx
+        t0y = (loy - oy) * idy
+        t1y = (hiy - oy) * idy
+        t0z = (loz - oz) * idz
+        t1z = (hiz - oz) * idz
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), t_lim0),
+        )
+        # padded clusters carry inverted (+big, -big) boxes — the explicit
+        # emptiness mask keeps their overflowed slab results out (see
+        # pallas_cluster_trace._group_near_phase for the war story)
+        nonempty = lox <= hix
+        e_ref[:, pl.ds(s, 128)] = jnp.where(
+            (near <= far) & nonempty, near, _BIG
+        )
+
+
+def _closest_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
+    tri_hbm,
+    lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
+    t_out, tri_out, u_out, v_out,
+    e_ref, tri_vmem, sem,
+    *, n_units: int, n_gtiles: int,
+):
+    blk = ox_ref.shape[0]
+    cp = n_gtiles * 128
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tmin = tmin_ref[:]
+    tmax0 = tmax_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (blk, CLUSTER), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+
+    _build_entry_matrix(
+        e_ref, ox, oy, oz, dx, dy, dz, tmin, tmax0,
+        lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref, n_gtiles,
+    )
+
+    def dma(slot, c):
+        return _cluster_dma(tri_hbm, tri_vmem.at[slot], sem.at[slot], c)
+
+    def pick(t_best, excl):
+        """Nearest still-eligible (per-ray E < t_best, unvisited) cluster.
+
+        Exclusion is applied AFTER the (BLK, Cp) -> (1, Cp) reduce, on the
+        cheap row, so E stays read-only after the build (the first design
+        rewrote the whole E column to +BIG per visit — 3.6 MB of VMEM
+        traffic per visit for what one row select does)."""
+        col = jnp.min(jnp.where(e_ref[:, :] < t_best, e_ref[:, :], _BIG),
+                      axis=0, keepdims=True)  # (1, Cp)
+        col = jnp.where(excl > 0.0, _BIG, col)
+        mn, c = _argmin_row(col)
+        return c, mn < _BIG
+
+    def mark(excl, c):
+        return jnp.where(lane == c, 1.0, excl)
+
+    excl0 = jnp.zeros((1, cp), jnp.float32)
+    c0, do0 = pick(tmax0, excl0)
+    excl0 = jnp.where(do0, mark(excl0, c0), excl0)
+
+    @pl.when(do0)
+    def _():
+        dma(0, c0).start()
+
+    def body(i, carry):
+        cur, do_cur, excl, t_best, id_best, u_best, v_best = carry
+        slot = jax.lax.rem(i, 2)
+
+        def work(cr):
+            excl, t_best, id_best, u_best, v_best = cr
+            # pick + prefetch next (pre-visit t_best: conservative by at
+            # most one visit vs re-picking after the update below)
+            c_nxt, do_nxt = pick(t_best, excl)
+            excl = jnp.where(do_nxt, mark(excl, c_nxt), excl)
+
+            @pl.when(do_nxt)
+            def _():
+                dma(1 - slot, c_nxt).start()
+
+            dma(slot, cur).wait()
+            tri = tuple(
+                tri_vmem[slot, c, :].reshape(1, CLUSTER) for c in range(9)
+            )
+            tt, uu, vv, ok = _mt_tile(
+                ox, oy, oz, dx, dy, dz, tmin, t_best, tri
+            )
+            ids = tri_vmem[slot, 9, :].reshape(1, CLUSTER)
+            ok = ok & (ids >= 0.0)
+            tt = jnp.where(ok, tt, _BIG)
+            t_new = jnp.min(tt, axis=1, keepdims=True)
+            got = t_new < t_best
+            cand = jnp.where(tt == t_new, col, CLUSTER)
+            kmin = jnp.min(cand, axis=1, keepdims=True)
+            onehot = col == kmin
+            id_new = jnp.sum(jnp.where(onehot, ids, 0.0), axis=1,
+                             keepdims=True)
+            u_new = jnp.sum(jnp.where(onehot, uu, 0.0), axis=1,
+                            keepdims=True)
+            v_new = jnp.sum(jnp.where(onehot, vv, 0.0), axis=1,
+                            keepdims=True)
+            t_best = jnp.where(got, t_new, t_best)
+            id_best = jnp.where(got, id_new, id_best)
+            u_best = jnp.where(got, u_new, u_best)
+            v_best = jnp.where(got, v_new, v_best)
+            return c_nxt, do_nxt, excl, t_best, id_best, u_best, v_best
+
+        return jax.lax.cond(
+            do_cur, work,
+            lambda cr: (cur, do_cur) + cr,
+            (excl, t_best, id_best, u_best, v_best),
+        )
+
+    init = (
+        c0,
+        do0,
+        excl0,
+        tmax0,
+        jnp.full((blk, 1), -1.0, jnp.float32),
+        jnp.zeros((blk, 1), jnp.float32),
+        jnp.zeros((blk, 1), jnp.float32),
+    )
+    (_c, _do, _ex, t_best, id_best, u_best, v_best) = jax.lax.fori_loop(
+        0, n_units, body, init
+    )
+    t_out[:] = t_best
+    tri_out[:] = id_best.astype(jnp.int32)
+    u_out[:] = u_best
+    v_out[:] = v_best
+
+
+def _any_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
+    tri_hbm,
+    lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
+    occ_out,
+    e_ref, tri_vmem, sem,
+    *, n_units: int, n_gtiles: int,
+):
+    blk = ox_ref.shape[0]
+    cp = n_gtiles * 128
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tmin = tmin_ref[:]
+    tmax0 = tmax_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+
+    _build_entry_matrix(
+        e_ref, ox, oy, oz, dx, dy, dz, tmin, tmax0,
+        lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref, n_gtiles,
+    )
+
+    def dma(slot, c):
+        return _cluster_dma(tri_hbm, tri_vmem.at[slot], sem.at[slot], c)
+
+    def pick(occ, excl):
+        # occluded rays stop being able to elect clusters
+        t_lim = jnp.where(occ > 0.0, -_BIG, tmax0)
+        col = jnp.min(jnp.where(e_ref[:, :] < t_lim, e_ref[:, :], _BIG),
+                      axis=0, keepdims=True)
+        col = jnp.where(excl > 0.0, _BIG, col)
+        mn, c = _argmin_row(col)
+        return c, mn < _BIG
+
+    def mark(excl, c):
+        return jnp.where(lane == c, 1.0, excl)
+
+    occ0 = jnp.zeros((blk, 1), jnp.float32)
+    excl0 = jnp.zeros((1, cp), jnp.float32)
+    c0, do0 = pick(occ0, excl0)
+    excl0 = jnp.where(do0, mark(excl0, c0), excl0)
+
+    @pl.when(do0)
+    def _():
+        dma(0, c0).start()
+
+    def body(i, carry):
+        cur, do_cur, excl, occ = carry
+        slot = jax.lax.rem(i, 2)
+
+        def work(cr):
+            excl, occ = cr
+            c_nxt, do_nxt = pick(occ, excl)
+            excl = jnp.where(do_nxt, mark(excl, c_nxt), excl)
+
+            @pl.when(do_nxt)
+            def _():
+                dma(1 - slot, c_nxt).start()
+
+            dma(slot, cur).wait()
+            tri = tuple(
+                tri_vmem[slot, c, :].reshape(1, CLUSTER) for c in range(9)
+            )
+            _tt, _uu, _vv, ok = _mt_tile(
+                ox, oy, oz, dx, dy, dz, tmin, tmax0, tri
+            )
+            ok = ok & (tri_vmem[slot, 9, :].reshape(1, CLUSTER) >= 0.0)
+            hit_f = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1, keepdims=True)
+            return c_nxt, do_nxt, excl, jnp.maximum(occ, hit_f)
+
+        return jax.lax.cond(
+            do_cur, work, lambda cr: (cur, do_cur) + cr, (excl, occ)
+        )
+
+    _c, _do, _ex, occ = jax.lax.fori_loop(
+        0, n_units, body, (c0, do0, excl0, occ0)
+    )
+    occ_out[:] = occ > 0.0
+
+
+def _boxes(cl: ClusterView):
+    return (cl.lo_x, cl.lo_y, cl.lo_z, cl.hi_x, cl.hi_y, cl.hi_z)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _closest_impl(tri, boxes, o, d, tmin, tmax, block: int):
+    n = o[0].shape[0]
+    n_pad = -(-n // block) * block
+    pad = n_pad - n
+    g = n_pad // block
+
+    def pr(a, fill=0.0):
+        return jnp.pad(a, (0, pad), constant_values=fill).reshape(n_pad, 1)
+
+    # padded rays get tmax = -1 -> empty E rows -> never elect clusters
+    rays = tuple(pr(a) for a in (*o, *d, tmin)) + (pr(tmax, -1.0),)
+    n_units = tri.shape[0]
+    gp = boxes[0].shape[1]
+
+    ray_spec = pl.BlockSpec((block, 1), lambda i: (i, 0))
+    hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
+    box_spec = pl.BlockSpec((1, gp), lambda i: (0, 0))
+    out_spec = pl.BlockSpec((block, 1), lambda i: (i, 0))
+    t, tri_id, u, v = pl.pallas_call(
+        functools.partial(
+            _closest_kernel, n_units=n_units, n_gtiles=gp // 128
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ],
+        grid=(g,),
+        in_specs=[ray_spec] * 8 + [hbm_spec] + [box_spec] * 6,
+        out_specs=[out_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((block, gp), jnp.float32),
+            pltpu.VMEM((2, 16, CLUSTER), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(*rays, tri, *boxes)
+    flat_out = lambda a: a.reshape(n_pad)[:n]
+    return flat_out(t), flat_out(tri_id), flat_out(u), flat_out(v)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _any_impl(tri, boxes, o, d, tmin, tmax, block: int):
+    n = o[0].shape[0]
+    n_pad = -(-n // block) * block
+    pad = n_pad - n
+    g = n_pad // block
+
+    def pr(a, fill=0.0):
+        return jnp.pad(a, (0, pad), constant_values=fill).reshape(n_pad, 1)
+
+    rays = tuple(pr(a) for a in (*o, *d, tmin)) + (pr(tmax, -1.0),)
+    n_units = tri.shape[0]
+    gp = boxes[0].shape[1]
+    ray_spec = pl.BlockSpec((block, 1), lambda i: (i, 0))
+    hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
+    box_spec = pl.BlockSpec((1, gp), lambda i: (0, 0))
+    occ = pl.pallas_call(
+        functools.partial(
+            _any_kernel, n_units=n_units, n_gtiles=gp // 128
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), bool),
+        grid=(g,),
+        in_specs=[ray_spec] * 8 + [hbm_spec] + [box_spec] * 6,
+        out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block, gp), jnp.float32),
+            pltpu.VMEM((2, 16, CLUSTER), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(*rays, tri, *boxes)
+    return occ.reshape(n_pad)[:n]
+
+
+def trace_closest_frontier(
+    clusters: ClusterView,
+    o: Vec3,
+    d: Vec3,
+    tmin: Array,
+    tmax: Array,
+    active: Optional[Array] = None,
+    block: int = DEF_BLK,
+    sort: bool = True,
+) -> Hit:
+    """Closest-hit over the clustered soup (drop-in for trace_closest)."""
+    n = o.x.shape[0]
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    if active is not None:
+        tmax_b = jnp.where(active, tmax_b, -1.0)
+    do_sort = sort and n >= 4 * block
+    if do_sort:
+        perm = _sort_perm_packed(clusters, o, d, tmin_b, tmax_b)
+        g = lambda a: a[perm]
+        o = Vec3(g(o.x), g(o.y), g(o.z))
+        d = Vec3(g(d.x), g(d.y), g(d.z))
+        tmin_b, tmax_b = g(tmin_b), g(tmax_b)
+    t, tri, u, v = _closest_impl(
+        clusters.tri, _boxes(clusters), (o.x, o.y, o.z), (d.x, d.y, d.z),
+        tmin_b, tmax_b, block
+    )
+    if do_sort:
+        un = lambda a: jnp.zeros_like(a).at[perm].set(a)
+        t, tri, u, v = un(t), un(tri), un(u), un(v)
+    missed = tri < 0
+    return Hit(
+        t=jnp.where(
+            missed, jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,)), t
+        ),
+        tri=tri,
+        u=u,
+        v=v,
+    )
+
+
+def trace_any_frontier(
+    clusters: ClusterView,
+    o: Vec3,
+    d: Vec3,
+    tmin: Array,
+    tmax: Array,
+    active: Optional[Array] = None,
+    block: int = DEF_BLK,
+    sort: bool = True,
+) -> Array:
+    n = o.x.shape[0]
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    if active is not None:
+        tmax_b = jnp.where(active, tmax_b, -1.0)
+    do_sort = sort and n >= 4 * block
+    if do_sort:
+        perm = _sort_perm_packed(clusters, o, d, tmin_b, tmax_b)
+        g = lambda a: a[perm]
+        o = Vec3(g(o.x), g(o.y), g(o.z))
+        d = Vec3(g(d.x), g(d.y), g(d.z))
+        tmin_b, tmax_b = g(tmin_b), g(tmax_b)
+    occ = _any_impl(
+        clusters.tri, _boxes(clusters), (o.x, o.y, o.z), (d.x, d.y, d.z),
+        tmin_b, tmax_b, block
+    )
+    if do_sort:
+        occ = jnp.zeros_like(occ).at[perm].set(occ)
+    if active is not None:
+        occ = occ & active
+    return occ

@@ -1,0 +1,95 @@
+"""Secondary bench stages (bigroom + bathroom2 stand-in), fault-isolated.
+
+Run by bench.py as a SUBPROCESS: a Mosaic kernel fault poisons the TPU
+client for its whole process, so the large-scene tracers must not share
+a process with the primary metric. Prints one JSON line on stdout.
+
+Each tracer attempt ALSO runs in its own grandchild process (--one):
+if the binned tracer faults, the cluster fallback still gets a live
+client.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one(scene: str, tracer: str) -> dict:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fermat_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from fermat_tpu.bsdf.composite import scene_lobes
+    from fermat_tpu.integrators.pt import PTOptions, render_pass
+    from fermat_tpu.scene.view import SceneView
+
+    if scene == "bigroom":
+        from fermat_tpu.core.camera import Camera
+        from fermat_tpu.scene.procedural import big_room
+
+        mesh = big_room(n_boxes=8300)
+        cam = Camera.create(eye=(0.0, 3.0, 10.0), aim=(0.0, 1.5, 0.0))
+        view = SceneView.build(mesh, cam)
+    else:
+        from fermat_tpu.scene.procedural import bathroom_standin
+
+        mesh, cam, tdir = bathroom_standin(n_boxes=8300)
+        view = SceneView.build(mesh, cam, texture_dir=tdir)
+
+    opts = PTOptions(max_path_length=6, lobes=scene_lobes(mesh.materials),
+                     tracer=tracer)
+    out = render_pass(view, opts, 1600, 896, jnp.uint32(0))
+    jax.block_until_ready(out.composited.x)
+    t0 = time.perf_counter()
+    out = render_pass(view, opts, 1600, 896, jnp.uint32(1))
+    jax.block_until_ready(out.composited.x)
+    dt = time.perf_counter() - t0
+    return {"mrays": float(out.rays) / dt / 1e6, "spp_s": 1.0 / dt,
+            "tracer": tracer}
+
+
+def attempt(scene: str, budget_s: float) -> dict | None:
+    for tracer in ("binned", "cluster"):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", scene,
+                 tracer],
+                capture_output=True, text=True, timeout=budget_s,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                return json.loads(r.stdout.strip().splitlines()[-1])
+            print(f"{scene}[{tracer}] rc={r.returncode}: "
+                  f"{r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ''}",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{scene}[{tracer}] failed: {e}", file=sys.stderr,
+                  flush=True)
+    return None
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        print(json.dumps(run_one(sys.argv[2], sys.argv[3])), flush=True)
+        return
+    t0 = time.time()
+    out = {}
+    big = attempt("bigroom", 600.0)
+    if big is not None:
+        out["bigroom_100k_1600x896_mrays"] = round(big["mrays"], 3)
+        out["bigroom_tracer"] = big["tracer"]
+    if time.time() - t0 < 900.0:
+        bath = attempt("bathroom", 600.0)
+        if bath is not None:
+            out["bathroom2_standin_1600x896_spp_s"] = round(bath["spp_s"], 4)
+            out["bathroom2_standin_mrays"] = round(bath["mrays"], 3)
+            out["bathroom2_tracer"] = bath["tracer"]
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -96,8 +96,11 @@ Array = jax.Array
 import os as _os
 
 # block size: rays per grid block (per-block E matrix + MT tile height).
-# Env override for hardware A/B experiments (tools/tpu_pass_attrib.py).
-DEF_BLK = int(_os.environ.get("FERMAT_FRONTIER_BLK", "512"))
+# Same-process hardware A/B on big_room 1.43M rays (tools/tpu_blk_ab.py):
+# incoherent closest 128: 1.31s | 256: 1.73s | 512: 1.89s | 1024: ~2.1s;
+# anyhit flat (~0.45s) — smaller blocks shrink the per-block visit union
+# faster than they grow per-block overheads. Env override for experiments.
+DEF_BLK = int(_os.environ.get("FERMAT_FRONTIER_BLK", "128"))
 _BIG = 3.0e38
 MAX_CP = 4096  # E-matrix VMEM gate: 512 x 4096 x 4 B = 8 MB
 _VMEM_LIMIT = 100 * 1024 * 1024

@@ -54,7 +54,7 @@ def run_one(scene: str, tracer: str) -> dict:
 
 
 def attempt(scene: str, budget_s: float) -> dict | None:
-    for tracer in ("binned", "cluster"):
+    for tracer in ("frontier", "cluster"):
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", scene,

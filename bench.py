@@ -113,6 +113,14 @@ def main() -> None:
     if time.perf_counter() - t_start < 600.0:
         import subprocess
 
+        def last_json(text):
+            for ln in reversed((text or "").strip().splitlines()):
+                try:
+                    return json.loads(ln)
+                except Exception:  # noqa: BLE001
+                    continue
+            return {}
+
         try:
             r = subprocess.run(
                 [sys.executable,
@@ -122,8 +130,16 @@ def main() -> None:
             )
             if r.stderr.strip():
                 print(r.stderr.strip(), file=sys.stderr, flush=True)
-            if r.returncode == 0 and r.stdout.strip():
-                secondaries = json.loads(r.stdout.strip().splitlines()[-1])
+            if r.returncode == 0:
+                secondaries = last_json(r.stdout)
+        except subprocess.TimeoutExpired as e:
+            # bench_secondaries prints a partial JSON line after every
+            # completed stage — salvage what finished before the kill
+            secondaries = last_json(
+                e.output if isinstance(e.output, str)
+                else (e.output or b"").decode("utf-8", "replace"))
+            print("secondary benches timed out; salvaged "
+                  f"{sorted(secondaries)}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — keep the primary alive
             print(f"secondary benches skipped: {e}", file=sys.stderr)
 

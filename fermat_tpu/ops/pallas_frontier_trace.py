@@ -127,12 +127,18 @@ def _interpret() -> bool:
 def _build_entry_matrix(
     e_ref, ox, oy, oz, dx, dy, dz, tmin, t_lim0,
     lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref, n_gtiles: int,
+    horizon=None,
 ):
     """E[r, c] = slab entry of ray r into cluster c; +BIG on miss/empty.
 
     Written tile-by-tile into the (BLK, Cp) VMEM scratch. t_lim0 is the
     per-ray INITIAL limit (tmax; -1 rows for padded/inactive rays make
-    every E entry BIG so those rays never cause visits)."""
+    every E entry BIG so those rays never cause visits).
+
+    horizon (multi-round resume, (BLK, 1) or None): entries with
+    near < horizon[r] are masked BIG — a prior round already visited every
+    cluster whose entry beats the ray's recorded next-frontier distance,
+    so re-visits are structurally excluded."""
     inv = lambda c: jnp.where(
         jnp.abs(c) > 1e-20, 1.0 / jnp.where(c == 0.0, 1.0, c),
         jnp.where(c >= 0, 1e20, -1e20),
@@ -160,33 +166,55 @@ def _build_entry_matrix(
         # padded clusters carry inverted (+big, -big) boxes — the explicit
         # emptiness mask keeps their overflowed slab results out (see
         # pallas_cluster_trace._group_near_phase for the war story)
-        nonempty = lox <= hix
-        e_ref[:, pl.ds(s, 128)] = jnp.where(
-            (near <= far) & nonempty, near, _BIG
-        )
+        keep = (near <= far) & (lox <= hix)
+        if horizon is not None:
+            keep = keep & (near >= horizon)
+        e_ref[:, pl.ds(s, 128)] = jnp.where(keep, near, _BIG)
 
 
 def _closest_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
+    h_ref, t0_ref, id0_ref, u0_ref, v0_ref,
     tri_hbm,
     lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
-    t_out, tri_out, u_out, v_out, visits_out,
+    t_out, tri_out, u_out, v_out, visits_out, nxe_out, nxc_out,
     e_ref, tri_vmem, sem,
-    *, n_units: int, n_gtiles: int,
+    *, n_units: int, n_gtiles: int, cap: int,
 ):
+    """One block's ordered frontier walk.
+
+    Round-4 extensions over the round-3 kernel (all exact):
+      * carried hit state (t0/id0/u0/v0) + resume horizon h — a later
+        round continues where an earlier round stopped;
+      * a static visit CAP — the multi-round driver re-sorts unfinished
+        rays by their next needed cluster between rounds, collapsing the
+        per-block visit union toward per-ray needed sets;
+      * next-frontier outputs (nxe, nxc): per ray, the entry distance and
+        id of the nearest UNVISITED still-eligible cluster (+BIG / -1
+        when the ray is done) — the re-binning key;
+      * all-dead blocks (every e-limit row <= 0) skip the E build
+        entirely — with dead rays packed last by the sort, late-bounce
+        trailing blocks cost ~nothing (previously they paid the full
+        BLK x Cp x 24-op build).
+    """
     blk = ox_ref.shape[0]
     cp = n_gtiles * 128
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     tmin = tmin_ref[:]
-    tmax0 = tmax_ref[:]
+    e_lim = tmax_ref[:]  # E far cap; -1 rows = inactive/finished rays
     col = jax.lax.broadcasted_iota(jnp.int32, (blk, CLUSTER), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
 
-    _build_entry_matrix(
-        e_ref, ox, oy, oz, dx, dy, dz, tmin, tmax0,
-        lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref, n_gtiles,
-    )
+    all_dead = jnp.max(e_lim) <= 0.0
+
+    @pl.when(~all_dead)
+    def _():
+        _build_entry_matrix(
+            e_ref, ox, oy, oz, dx, dy, dz, tmin, e_lim,
+            lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref, n_gtiles,
+            horizon=h_ref[:],
+        )
 
     def dma(slot, c):
         return _cluster_dma(tri_hbm, tri_vmem.at[slot], sem.at[slot], c)
@@ -197,27 +225,34 @@ def _closest_kernel(
         Exclusion is applied AFTER the (BLK, Cp) -> (1, Cp) reduce, on the
         cheap row, so E stays read-only after the build (the first design
         rewrote the whole E column to +BIG per visit — 3.6 MB of VMEM
-        traffic per visit for what one row select does)."""
-        col = jnp.min(jnp.where(e_ref[:, :] < t_best, e_ref[:, :], _BIG),
+        traffic per visit for what one row select does).
+
+        Guarded by t_lim: a stale E (skipped build for an all-dead block)
+        can never elect a cluster because every t_best row is <= 0."""
+        t_lim = jnp.minimum(t_best, e_lim)
+        col = jnp.min(jnp.where(e_ref[:, :] < t_lim, e_ref[:, :], _BIG),
                       axis=0, keepdims=True)  # (1, Cp)
         col = jnp.where(excl > 0.0, _BIG, col)
         mn, c = _argmin_row(col)
         return c, mn < _BIG
 
-    def mark(excl, c):
-        return jnp.where(lane == c, 1.0, excl)
+    def mark(excl, c, on):
+        return jnp.where((lane == c) & on, 1.0, excl)
 
+    t_best0 = t0_ref[:]
     excl0 = jnp.zeros((1, cp), jnp.float32)
-    c0, do0 = pick(tmax0, excl0)
-    excl0 = jnp.where(do0, mark(excl0, c0), excl0)
+    c0, do0 = pick(t_best0, excl0)
+    excl0 = mark(excl0, c0, do0)
 
     @pl.when(do0)
     def _():
         dma(0, c0).start()
 
+    cap_eff = min(n_units + 1, cap) if cap > 0 else n_units + 1
+
     def cond(carry):
         i, cur, do_cur, *_ = carry
-        return do_cur & (i < n_units + 1)
+        return do_cur & (i < cap_eff)
 
     def body(carry):
         i, cur, _do_cur, excl, t_best, id_best, u_best, v_best, nvis = carry
@@ -229,7 +264,7 @@ def _closest_kernel(
             # pick + prefetch next (pre-visit t_best: conservative by at
             # most one visit vs re-picking after the update below)
             c_nxt, do_nxt = pick(t_best, excl)
-            excl = jnp.where(do_nxt, mark(excl, c_nxt), excl)
+            excl = mark(excl, c_nxt, do_nxt)
 
             @pl.when(do_nxt)
             def _():
@@ -271,19 +306,19 @@ def _closest_kernel(
         c0,
         do0,
         excl0,
-        tmax0,
-        jnp.full((blk, 1), -1.0, jnp.float32),
-        jnp.zeros((blk, 1), jnp.float32),
-        jnp.zeros((blk, 1), jnp.float32),
+        t_best0,
+        id0_ref[:],
+        u0_ref[:],
+        v0_ref[:],
         jnp.zeros((), jnp.float32),
     )
-    # while_loop: the loop ENDS when no (ray, cluster) pair is eligible.
-    # The first design ran a fori over all n_units with a lax.cond guard —
-    # measured 1.3 us per SKIPPED iteration on hardware, which at 784
-    # clusters x 2800 blocks (2.2M dead iterations) dominated the whole
-    # trace (tools/tpu_visits_probe.py: camera blocks need only ~23
-    # visits but paid 43 us/visit all-in).
-    (_i, _c, _do, _ex, t_best, id_best, u_best, v_best, nvis) = (
+    # while_loop: the loop ENDS when no (ray, cluster) pair is eligible
+    # (or the visit cap is reached). The first design ran a fori over all
+    # n_units with a lax.cond guard — measured 1.3 us per SKIPPED
+    # iteration on hardware, which at 784 clusters x 2800 blocks (2.2M
+    # dead iterations) dominated the whole trace (tools/tpu_visits_probe:
+    # camera blocks need only ~23 visits but paid 43 us/visit all-in).
+    (_i, c_pend, do_pend, excl_f, t_best, id_best, u_best, v_best, nvis) = (
         jax.lax.while_loop(cond, body, init)
     )
     t_out[:] = t_best
@@ -291,6 +326,21 @@ def _closest_kernel(
     u_out[:] = u_best
     v_out[:] = v_best
     visits_out[:] = jnp.full_like(t_best, 0.0) + nvis
+
+    # next frontier per ray: nearest unvisited cluster still beating the
+    # ray's best hit. A cap exit leaves one PICKED-but-untested cluster
+    # (c_pend, prefetch in flight) — unmark it so it stays "unvisited".
+    excl_f = jnp.where((lane == c_pend) & do_pend, 0.0, excl_f)
+    e_open = jnp.where(
+        (excl_f > 0.0) | ~(e_ref[:, :] < jnp.minimum(t_best, e_lim)),
+        _BIG, e_ref[:, :],
+    )
+    nxe = jnp.min(e_open, axis=1, keepdims=True)
+    ccand = jnp.where(e_open == nxe, lane, cp)
+    nxc = jnp.min(ccand, axis=1, keepdims=True)
+    done = nxe >= _BIG
+    nxe_out[:] = nxe
+    nxc_out[:] = jnp.where(done, -1, nxc)
 
 
 def _any_kernel(
@@ -378,8 +428,14 @@ def _boxes(cl: ClusterView):
     return (cl.lo_x, cl.lo_y, cl.lo_z, cl.hi_x, cl.hi_y, cl.hi_z)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _closest_impl(tri, boxes, o, d, tmin, tmax, block: int):
+@functools.partial(jax.jit, static_argnames=("block", "cap"))
+def _closest_impl(tri, boxes, o, d, tmin, tmax, block: int, cap: int = 0,
+                  carry=None):
+    """One capped/uncapped frontier sweep over all rays.
+
+    carry = (h, t0, id0, u0, v0) flat (n,) arrays from a previous round
+    (None for round 1). Returns per-ray (t, tri, u, v, nxe, nxc) plus
+    per-block visit counts."""
     n = o[0].shape[0]
     n_pad = -(-n // block) * block
     pad = n_pad - n
@@ -390,6 +446,18 @@ def _closest_impl(tri, boxes, o, d, tmin, tmax, block: int):
 
     # padded rays get tmax = -1 -> empty E rows -> never elect clusters
     rays = tuple(pr(a) for a in (*o, *d, tmin)) + (pr(tmax, -1.0),)
+    if carry is None:
+        carries = (
+            jnp.full((n_pad, 1), -_BIG, jnp.float32),      # horizon
+            pr(tmax, -1.0),                                # t_best0
+            jnp.full((n_pad, 1), -1.0, jnp.float32),       # id0
+            jnp.zeros((n_pad, 1), jnp.float32),            # u0
+            jnp.zeros((n_pad, 1), jnp.float32),            # v0
+        )
+    else:
+        h, t0, id0, u0, v0 = carry
+        carries = (pr(h, -_BIG), pr(t0, -1.0),
+                   pr(id0.astype(jnp.float32), -1.0), pr(u0), pr(v0))
     n_units = tri.shape[0]
     gp = boxes[0].shape[1]
 
@@ -397,20 +465,23 @@ def _closest_impl(tri, boxes, o, d, tmin, tmax, block: int):
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     box_spec = pl.BlockSpec((1, gp), lambda i: (0, 0))
     out_spec = pl.BlockSpec((block, 1), lambda i: (i, 0))
-    t, tri_id, u, v, visits = pl.pallas_call(
+    f32 = jnp.float32
+    t, tri_id, u, v, visits, nxe, nxc = pl.pallas_call(
         functools.partial(
-            _closest_kernel, n_units=n_units, n_gtiles=gp // 128
+            _closest_kernel, n_units=n_units, n_gtiles=gp // 128, cap=cap
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), f32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), f32),
+            jax.ShapeDtypeStruct((n_pad, 1), f32),
+            jax.ShapeDtypeStruct((n_pad, 1), f32),
+            jax.ShapeDtypeStruct((n_pad, 1), f32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
         grid=(g,),
-        in_specs=[ray_spec] * 8 + [hbm_spec] + [box_spec] * 6,
-        out_specs=[out_spec] * 5,
+        in_specs=[ray_spec] * 13 + [hbm_spec] + [box_spec] * 6,
+        out_specs=[out_spec] * 7,
         scratch_shapes=[
             pltpu.VMEM((block, gp), jnp.float32),
             pltpu.VMEM((2, 16, CLUSTER), jnp.float32),
@@ -418,9 +489,10 @@ def _closest_impl(tri, boxes, o, d, tmin, tmax, block: int):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(*rays, tri, *boxes)
+    )(*rays, *carries, tri, *boxes)
     flat_out = lambda a: a.reshape(n_pad)[:n]
     return (flat_out(t), flat_out(tri_id), flat_out(u), flat_out(v),
+            flat_out(nxe), flat_out(nxc),
             visits.reshape(g, block)[:, 0])
 
 
@@ -459,6 +531,15 @@ def _any_impl(tri, boxes, o, d, tmin, tmax, block: int):
     return occ.reshape(n_pad)[:n]
 
 
+def _parse_rounds(rounds) -> tuple:
+    if rounds is None:
+        spec = _os.environ.get("FERMAT_FRONTIER_ROUNDS", "0")
+        rounds = tuple(int(x) for x in spec.split(",") if x.strip() != "")
+    if not rounds:
+        rounds = (0,)
+    return tuple(rounds[:-1]) + (0,)  # final round is ALWAYS uncapped
+
+
 def trace_closest_frontier(
     clusters: ClusterView,
     o: Vec3,
@@ -469,31 +550,75 @@ def trace_closest_frontier(
     block: int = DEF_BLK,
     sort: bool = True,
     return_visits: bool = False,
+    rounds=None,
 ) -> Hit:
     """Closest-hit over the clustered soup (drop-in for trace_closest).
 
-    return_visits=True additionally returns the per-block visit counts
-    (n_blocks,) — the tracer's work metric, for perf attribution."""
+    rounds: visit caps per re-binning round, final entry forced uncapped
+    (0). ("0",) = single exhaustive sweep (the round-3 behavior). With
+    e.g. (24, 0): sweep 1 walks each block's frontier for at most 24
+    visits; unfinished rays are then RE-SORTED by the id of the next
+    cluster they each need (their exact per-ray frontier, reported by the
+    kernel) so rays needing the same clusters share blocks, and sweep 2
+    finishes them with collapsed visit unions. Exact for any cap
+    schedule: each ray resumes from its recorded horizon (every cluster
+    with entry below it was already tested) and the last sweep is
+    exhaustive. Default from FERMAT_FRONTIER_ROUNDS.
+
+    return_visits=True additionally returns the per-block-per-round visit
+    counts (concatenated) — the tracer's work metric, for attribution."""
     _check_cp(clusters)
+    caps = _parse_rounds(rounds)
     n = o.x.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     if active is not None:
         tmax_b = jnp.where(active, tmax_b, -1.0)
     do_sort = sort and n >= 4 * block
+    if not do_sort:
+        caps = (0,)  # small traces: single exhaustive sweep, no re-binning
+
+    tri_args = (clusters.tri, _boxes(clusters))
+    ray_soa = ((o.x, o.y, o.z), (d.x, d.y, d.z), tmin_b)
+
     if do_sort:
         perm = _sort_perm_packed(clusters, o, d, tmin_b, tmax_b)
-        g = lambda a: a[perm]
-        o = Vec3(g(o.x), g(o.y), g(o.z))
-        d = Vec3(g(d.x), g(d.y), g(d.z))
-        tmin_b, tmax_b = g(tmin_b), g(tmax_b)
-    t, tri, u, v, visits = _closest_impl(
-        clusters.tri, _boxes(clusters), (o.x, o.y, o.z), (d.x, d.y, d.z),
-        tmin_b, tmax_b, block
-    )
-    if do_sort:
-        un = lambda a: jnp.zeros_like(a).at[perm].set(a)
-        t, tri, u, v = un(t), un(tri), un(u), un(v)
+    else:
+        perm = None
+
+    def gather(a, p):
+        return a[p] if p is not None else a
+
+    state = None  # (t, tri, u, v, nxe, nxc) in ORIGINAL ray order
+    all_visits = []
+    for k, cap in enumerate(caps):
+        if k > 0:
+            done = state[5] < 0
+            key = jnp.where(done, jnp.int32(2 ** 30), state[5])
+            perm = jnp.argsort(key)
+        po = tuple(gather(a, perm) for a in ray_soa[0])
+        pd = tuple(gather(a, perm) for a in ray_soa[1])
+        ptmin = gather(ray_soa[2], perm)
+        if state is None:
+            e_lim = gather(tmax_b, perm)
+            carry = None
+        else:
+            t_c, id_c, u_c, v_c, nxe_c, nxc_c = state
+            done = nxc_c < 0
+            e_lim = gather(jnp.where(done, -1.0, t_c), perm)
+            carry = tuple(gather(a, perm)
+                          for a in (nxe_c, t_c, id_c, u_c, v_c))
+        t, tri, u, v, nxe, nxc, visits = _closest_impl(
+            *tri_args, po, pd, ptmin, e_lim, block, cap=cap, carry=carry
+        )
+        all_visits.append(visits)
+        if perm is not None:
+            un = lambda a: jnp.zeros_like(a).at[perm].set(a)
+            t, tri, u, v = un(t), un(tri), un(u), un(v)
+            nxe, nxc = un(nxe), un(nxc)
+        state = (t, tri, u, v, nxe, nxc)
+
+    t, tri, u, v, _nxe, _nxc = state
     missed = tri < 0
     hit = Hit(
         t=jnp.where(
@@ -504,7 +629,7 @@ def trace_closest_frontier(
         v=v,
     )
     if return_visits:
-        return hit, visits
+        return hit, jnp.concatenate(all_visits)
     return hit
 
 

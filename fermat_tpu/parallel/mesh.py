@@ -140,6 +140,41 @@ def render_bpt_pass_sharded(
     return f(view_r, pix, jnp.asarray(instance, jnp.uint32))
 
 
+def render_pass_gspmd(
+    view: SceneView,
+    opts: pt_mod.PTOptions,
+    res_x: int,
+    res_y: int,
+    instance: Array,
+    mesh: Mesh,
+    seed: int = 0,
+):
+    """One PT pass partitioned by GSPMD: pixel lanes carry a NamedSharding
+    over AXIS, the scene is replicated, and the partitioner inserts the
+    (single) ray-count all-reduce.
+
+    Same computation as render_pass_sharded, but jit-of-sharded-inputs
+    instead of shard_map — on XLA:CPU the explicit shard_map formulation
+    of the PT graph lowers pathologically (minutes at 32x32 where GSPMD
+    takes seconds; same story as render_bpt_pass_sharded's docstring), and
+    on TPU GSPMD is the production path anyway. Returns _PassOutput with
+    lane arrays sharded over AXIS."""
+    from jax.sharding import NamedSharding
+
+    n = res_x * res_y
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, f"{n} pixels not divisible by {n_dev} devices"
+    pix = jax.device_put(jnp.arange(n, dtype=jnp.uint32),
+                         NamedSharding(mesh, P(AXIS)))
+    view_r = jax.device_put(view, NamedSharding(mesh, P()))
+
+    @jax.jit
+    def f(v: SceneView, p: Array, inst: Array):
+        return pt_mod.render_pass(v, opts, res_x, res_y, inst, seed, pix=p)
+
+    return f(view_r, pix, jnp.asarray(instance, jnp.uint32))
+
+
 def render_image_sharded(
     view: SceneView,
     opts: pt_mod.PTOptions,

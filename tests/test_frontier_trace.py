@@ -101,3 +101,62 @@ def test_frontier_sorted_path_matches_unsorted():
     np.testing.assert_allclose(
         np.asarray(h_s.t)[m], np.asarray(h_u.t)[m], rtol=1e-5, atol=1e-5
     )
+
+
+def test_frontier_multiround_matches_single():
+    """Capped re-binning rounds must be EXACT vs the single sweep and
+    brute force, for several cap schedules including tiny caps that
+    force many resume/horizon handoffs."""
+    mesh = random_soup(1500, seed=21).device_view()
+    cl = build_clusters(mesh)
+    o, d = _rays(8, n=1024)
+    tmin, tmax = jnp.float32(1e-4), jnp.float32(3e38)
+    h_ref = trace_closest_brute(mesh, o, d, tmin, tmax)
+    m_ref = np.asarray(h_ref.hit_mask)
+    for caps in ((0,), (4, 0), (2, 2, 0), (1, 1, 1, 0)):
+        h_mr = trace_closest_frontier(cl, o, d, tmin, tmax, block=256,
+                                      rounds=caps)
+        np.testing.assert_array_equal(
+            m_ref, np.asarray(h_mr.hit_mask), err_msg=f"caps={caps}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_mr.t)[m_ref], np.asarray(h_ref.t)[m_ref],
+            rtol=1e-5, atol=1e-5, err_msg=f"caps={caps}",
+        )
+
+
+def test_frontier_multiround_active_mask_and_tmax():
+    mesh = random_soup(900, seed=23).device_view()
+    cl = build_clusters(mesh)
+    o, d = _rays(9, n=1024)
+    r = np.random.default_rng(31)
+    active = jnp.asarray(r.random(1024) < 0.6)
+    tmax_v = jnp.asarray(2.0 + 6.0 * r.random(1024).astype(np.float32))
+    tmin = jnp.float32(1e-4)
+    h_ref = trace_closest_brute(mesh, o, d, tmin, tmax_v, active=active)
+    h_mr = trace_closest_frontier(cl, o, d, tmin, tmax_v, active=active,
+                                  block=256, rounds=(3, 0))
+    act = np.asarray(active)
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.hit_mask) & act, np.asarray(h_mr.hit_mask) & act
+    )
+    m = np.asarray(h_ref.hit_mask) & act
+    np.testing.assert_allclose(
+        np.asarray(h_mr.t)[m], np.asarray(h_ref.t)[m], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_frontier_visit_counts_multiround_not_larger():
+    """Total visits across capped rounds must never exceed the single
+    sweep's (the horizon guarantees no re-visits), and the visits output
+    concatenates one entry per block per round."""
+    mesh = random_soup(2000, seed=25).device_view()
+    cl = build_clusters(mesh)
+    o, d = _rays(10, n=2048)
+    tmin, tmax = jnp.float32(1e-4), jnp.float32(3e38)
+    _, v1 = trace_closest_frontier(cl, o, d, tmin, tmax, block=256,
+                                   rounds=(0,), return_visits=True)
+    _, v2 = trace_closest_frontier(cl, o, d, tmin, tmax, block=256,
+                                   rounds=(4, 0), return_visits=True)
+    assert v2.shape[0] == 2 * v1.shape[0]
+    assert float(v2.sum()) <= float(v1.sum()) * 1.35 + 8 * 2

@@ -104,6 +104,37 @@ def main() -> None:
 
     mrays = total_rays / best / 1e6
 
+    # differentiable train-step stage (VERDICT r3 #4: fwd+bwd throughput
+    # as a first-class number): cornell512, MSE loss vs a dark target,
+    # gradient w.r.t. material diffuse albedo, same 6-bounce config as the
+    # primary. Reported as train_mrays = forward rays traced / wall time
+    # of the full fwd+bwd step (detached-AD backward re-traces nothing,
+    # so forward rays are the honest ray denominator).
+    train_mrays = None
+    try:
+        diffuse0 = view.mesh.materials.diffuse
+        target = jnp.zeros((res * res, 3), jnp.float32)
+
+        def loss_fn(diffuse, inst):
+            mats = view.mesh.materials._replace(diffuse=diffuse)
+            v = view._replace(mesh=view.mesh._replace(materials=mats))
+            out = render_pass(v, base_opts, res, res, inst)
+            img = out.composited.stack()
+            return jnp.mean((img - target) ** 2), out.rays
+
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        (loss_v, rays_v), _g = grad_fn(diffuse0, jnp.uint32(0))
+        jax.block_until_ready(loss_v)
+        best_t = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            (loss_v, rays_v), _g = grad_fn(diffuse0, jnp.uint32(rep + 1))
+            jax.block_until_ready(loss_v)
+            best_t = min(best_t, time.perf_counter() - t0)
+        train_mrays = float(rays_v) / best_t / 1e6
+    except Exception as e:  # noqa: BLE001 — keep the primary alive
+        print(f"train-step bench skipped: {e}", file=sys.stderr, flush=True)
+
     # secondary metrics (bigroom + bathroom2 stand-in at 1600x896) run in
     # a SUBPROCESS: a Mosaic kernel fault poisons the TPU client for its
     # whole process, so the large-scene tracers must never share a
@@ -159,6 +190,8 @@ def main() -> None:
         "vs_baseline": round(vs, 3),
     }
     line["primary_path"] = mode
+    if train_mrays is not None:
+        line["train_mrays"] = round(train_mrays, 2)
     line.update(secondaries)
     print(json.dumps(line))
 

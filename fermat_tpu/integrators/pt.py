@@ -84,6 +84,12 @@ class PTOptions(NamedTuple):
     queue_compaction: bool = False
     ray_eps: float = 1.0e-4  # self-intersection offset (scene units)
     tracer: str = "auto"  # bvh|brute|pallas|cluster|binned|frontier|mega|auto
+    # sampler: "owen" = per-pixel Owen-scrambled Sobol (tiled_sequence.h
+    # analog); "bluenoise" = shared Sobol + tiled blue-noise
+    # Cranley-Patterson shifts (tiled_sampling.h:287-312 analog) — trades
+    # per-pixel decorrelation for a perceptually-better (high-frequency)
+    # error distribution at equal spp
+    sampler: str = "owen"
     dims_per_bounce: int = 8
     # static lobe mask (dr, dt, gr, gt) — auto-set from the scene's materials
     # by RenderingContext (composite.scene_lobes); disabled lobes compile out
@@ -355,11 +361,15 @@ def render_pass(
     if pix is None:
         pix = jnp.arange(res_x * res_y, dtype=jnp.uint32)
     n = pix.shape[0]
-    seq = (
-        sequence
-        if sequence is not None
-        else TiledSequence.create(seed=seed).set_instance(instance)
-    )
+    if sequence is not None:
+        seq = sequence
+    elif opts.sampler == "bluenoise":
+        from fermat_tpu.core.rng import BlueNoiseSequence
+
+        seq = BlueNoiseSequence.create(
+            seed=seed, res_x=res_x).set_instance(instance)
+    else:
+        seq = TiledSequence.create(seed=seed).set_instance(instance)
     closest, anyhit = _pick_tracers(view, opts)
     anyhit_direct, anyhit_indirect = _pick_shadow_anyhits(view, opts, anyhit)
 

@@ -285,6 +285,10 @@ class _PassOutput(NamedTuple):
     uv: Array
     material: Array
     rays: Array  # scalar: rays traced this pass
+    # (N,) per-lane rays traced (tile attribution / load balance without a
+    # shard_map recompile). Default None: other integrators reusing this
+    # output type don't track it.
+    rays_lane: Optional[Array] = None
 
 
 def _offset_origin(pos: Vec3, gn: Vec3, d: Vec3, eps: float) -> Vec3:
@@ -404,6 +408,7 @@ def render_pass(
         g_diff_albedo: Vec3
         g_spec_albedo: Vec3
         rays: Array  # scalar f32 — total traced rays (closest + shadow)
+        rays_lane: Array  # (N,) f32 — per-lane traced-ray counter
         cone_width: Array  # ray-cone footprint radius (texture LOD)
         pix_u: Array  # pixel id per lane (moves with the lane when queued)
         lane0: Array  # original lane index (to unpermute queued output)
@@ -427,6 +432,7 @@ def render_pass(
         g_diff_albedo=zero3,
         g_spec_albedo=zero3,
         rays=jnp.zeros((), jnp.float32),
+        rays_lane=jnp.zeros(n, jnp.float32),
         cone_width=jnp.zeros(n, jnp.float32),
         pix_u=pix,
         lane0=jnp.arange(n, dtype=jnp.int32),
@@ -455,7 +461,8 @@ def render_pass(
         # (direct at the peeled bounce, indirect in the loop)
         sh_anyhit = anyhit_direct if first else anyhit_indirect
         hit = closest(c.o, c.d, jnp.float32(eps), jnp.float32(3.0e38), c.alive)
-        c = c._replace(rays=c.rays + jnp.sum(c.alive.astype(jnp.float32)))
+        c = c._replace(rays=c.rays + jnp.sum(c.alive.astype(jnp.float32)),
+                       rays_lane=c.rays_lane + c.alive.astype(jnp.float32))
         valid = c.alive & hit.hit_mask
         missed = c.alive & ~hit.hit_mask
         if view.env_map is None:
@@ -700,7 +707,8 @@ def render_pass(
                 occluded = jnp.zeros(n, bool)
             else:
                 occluded = sh_anyhit(so, wo, jnp.float32(0.0), dist * (1.0 - 1e-3), able)
-            c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
+            c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)),
+                       rays_lane=c.rays_lane + able.astype(jnp.float32))
             lit = able & ~occluded
             scale = cos_s * w_mis / jnp.maximum(pdf_sa, 1e-12)
             if opts.detach_nee:
@@ -757,7 +765,8 @@ def render_pass(
             so_e = _offset_origin(pos, gn, wo_e, eps)
             occ_e = sh_anyhit(so_e, wo_e, jnp.float32(0.0),
                               jnp.float32(3.0e38), able_e)
-            c = c._replace(rays=c.rays + jnp.sum(able_e.astype(jnp.float32)))
+            c = c._replace(rays=c.rays + jnp.sum(able_e.astype(jnp.float32)),
+                       rays_lane=c.rays_lane + able_e.astype(jnp.float32))
             lit_e = able_e & ~occ_e
             scale_e = cos_se * w_mis_e / jnp.maximum(pdf_e, 1e-12)
             if opts.detach_nee:
@@ -814,7 +823,8 @@ def render_pass(
                 so = _offset_origin(pos, gn, wo, eps)
                 occluded = sh_anyhit(so, wo, jnp.float32(0.0),
                                      dist * (1.0 - 1e-3), able)
-                c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
+                c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)),
+                       rays_lane=c.rays_lane + able.astype(jnp.float32))
                 lit = able & ~occluded
                 scale = cos_s / jnp.maximum(pdf_sa, 1e-12)
                 if opts.detach_nee:
@@ -856,7 +866,8 @@ def render_pass(
                 able = valid & ((fd.x + fg.x + fd.y + fg.y + fd.z + fg.z) > 0.0)
                 so = _offset_origin(pos, gn, wo, eps)
                 occluded = sh_anyhit(so, wo, jnp.float32(0.0), dist * (1.0 - 1e-3), able)
-                c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
+                c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)),
+                       rays_lane=c.rays_lane + able.astype(jnp.float32))
                 lit = able & ~occluded
                 inv_d2 = 1.0 / dist2
                 wX = c.thr.x * lp.ix[li] * cos_s * inv_d2
@@ -905,7 +916,8 @@ def render_pass(
                 able = valid & ((fd.x + fg.x + fd.y + fg.y + fd.z + fg.z) > 0.0)
                 so = _offset_origin(pos, gn, wo, eps)
                 occluded = sh_anyhit(so, wo, jnp.float32(0.0), jnp.float32(3.0e38), able)
-                c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)))
+                c = c._replace(rays=c.rays + jnp.sum(able.astype(jnp.float32)),
+                       rays_lane=c.rays_lane + able.astype(jnp.float32))
                 lit = able & ~occluded
                 wX = c.thr.x * lc[0] * cos_s
                 wY = c.thr.y * lc[1] * cos_s
@@ -1030,4 +1042,5 @@ def render_pass(
         uv=carry.g_uv,
         material=carry.g_mat,
         rays=carry.rays,
+        rays_lane=carry.rays_lane,
     )

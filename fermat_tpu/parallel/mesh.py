@@ -81,6 +81,7 @@ def render_pass_sharded(
         uv=P(AXIS),
         material=P(AXIS),
         rays=P(),
+        rays_lane=P(AXIS),
     )
     # check_vma=False: the traversal while-loops initialize their carries
     # from unvarying constants that become device-varying on the first

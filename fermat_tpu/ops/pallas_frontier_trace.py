@@ -206,15 +206,17 @@ def _closest_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (blk, CLUSTER), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
 
-    all_dead = jnp.max(e_lim) <= 0.0
-
-    @pl.when(~all_dead)
-    def _():
-        _build_entry_matrix(
-            e_ref, ox, oy, oz, dx, dy, dz, tmin, e_lim,
-            lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref, n_gtiles,
-            horizon=h_ref[:],
-        )
+    # NB: the E build runs UNCONDITIONALLY. A round-4 attempt skipped it
+    # for all-dead blocks behind pl.when — the conditional region cost
+    # +40% on the WHOLE trace (1.31 s -> 1.85 s on the big_room 1.43M-ray
+    # benchmark; tools/tpu_kernel_bisect2.py isolated it) — Mosaic cannot
+    # pipeline the box-row loads/stores across the conditional. Dead
+    # blocks pay ~3.4 us of build and exit on the first pick instead.
+    _build_entry_matrix(
+        e_ref, ox, oy, oz, dx, dy, dz, tmin, e_lim,
+        lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref, n_gtiles,
+        horizon=h_ref[:],
+    )
 
     def dma(slot, c):
         return _cluster_dma(tri_hbm, tri_vmem.at[slot], sem.at[slot], c)
@@ -227,8 +229,8 @@ def _closest_kernel(
         rewrote the whole E column to +BIG per visit — 3.6 MB of VMEM
         traffic per visit for what one row select does).
 
-        Guarded by t_lim: a stale E (skipped build for an all-dead block)
-        can never elect a cluster because every t_best row is <= 0."""
+        t_lim = min(t_best, e_lim): finished/inactive rays carry their
+        real t_best but e_lim = -1, so they can never elect clusters."""
         t_lim = jnp.minimum(t_best, e_lim)
         col = jnp.min(jnp.where(e_ref[:, :] < t_lim, e_ref[:, :], _BIG),
                       axis=0, keepdims=True)  # (1, Cp)
@@ -237,7 +239,11 @@ def _closest_kernel(
         return c, mn < _BIG
 
     def mark(excl, c, on):
-        return jnp.where((lane == c) & on, 1.0, excl)
+        # NB: scalar-bool `on` gates via jnp.where on the whole row —
+        # `(lane == c) & on` (vector i1 AND broadcast scalar i1) is a
+        # Mosaic legalization hazard (round-3 war story: i1 vectors in
+        # unusual positions crash the pipeline)
+        return jnp.where(on, jnp.where(lane == c, 1.0, excl), excl)
 
     t_best0 = t0_ref[:]
     excl0 = jnp.zeros((1, cp), jnp.float32)
@@ -321,6 +327,16 @@ def _closest_kernel(
     (_i, c_pend, do_pend, excl_f, t_best, id_best, u_best, v_best, nvis) = (
         jax.lax.while_loop(cond, body, init)
     )
+
+    # A cap exit (do_pend still true) leaves the prefetch DMA for c_pend
+    # in flight — an un-drained DMA at kernel end ABORTS the TPU (found
+    # the hard way: every capped schedule died with "TPU backend error
+    # (Aborted)" while uncapped ran clean; the only code delta was the
+    # static loop bound). Drain it before returning.
+    @pl.when(do_pend)
+    def _():
+        dma(jax.lax.rem(_i, 2), c_pend).wait()
+
     t_out[:] = t_best
     tri_out[:] = id_best.astype(jnp.int32)
     u_out[:] = u_best
@@ -330,11 +346,12 @@ def _closest_kernel(
     # next frontier per ray: nearest unvisited cluster still beating the
     # ray's best hit. A cap exit leaves one PICKED-but-untested cluster
     # (c_pend, prefetch in flight) — unmark it so it stays "unvisited".
-    excl_f = jnp.where((lane == c_pend) & do_pend, 0.0, excl_f)
-    e_open = jnp.where(
-        (excl_f > 0.0) | ~(e_ref[:, :] < jnp.minimum(t_best, e_lim)),
-        _BIG, e_ref[:, :],
-    )
+    # (f32 arithmetic instead of scalar-i1 AND: Mosaic legality.)
+    pend = jnp.where(do_pend, 1.0, 0.0)
+    excl_f = excl_f - jnp.where(lane == c_pend, pend, 0.0)
+    elig = e_ref[:, :] < jnp.minimum(t_best, e_lim)
+    unvis = excl_f <= 0.0
+    e_open = jnp.where(elig & unvis, e_ref[:, :], _BIG)
     nxe = jnp.min(e_open, axis=1, keepdims=True)
     ccand = jnp.where(e_open == nxe, lane, cp)
     nxc = jnp.min(ccand, axis=1, keepdims=True)

@@ -11,6 +11,7 @@ Run ALONE on TPU. FERMAT_FRONTIER_BLK env A/Bs the block size.
 """
 import sys, os, time, traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SCENE = sys.argv[1] if len(sys.argv) > 1 else "bigroom"
 
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/fermat_jax_cache")
@@ -19,8 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 print("connecting...", flush=True)
-print("backend:", jax.default_backend(), jax.devices(),
-      "blk=", os.environ.get("FERMAT_FRONTIER_BLK", "512"), flush=True)
+print("backend:", jax.default_backend(), jax.devices(), "scene=", SCENE,
+      "blk=", os.environ.get("FERMAT_FRONTIER_BLK", "128"),
+      "rounds=", os.environ.get("FERMAT_FRONTIER_ROUNDS", "0"), flush=True)
 
 from fermat_tpu.accel.cluster import build_clusters
 from fermat_tpu.bsdf.composite import scene_lobes
@@ -31,9 +33,15 @@ from fermat_tpu.ops.pallas_frontier_trace import trace_closest_frontier
 from fermat_tpu.scene.procedural import big_room
 from fermat_tpu.scene.view import SceneView
 
-room = big_room(n_boxes=8300)
-cam = Camera.create(eye=(0.0, 3.0, 10.0), aim=(0.0, 1.5, 0.0))
-view = SceneView.build(room, cam)
+if SCENE == "bathroom":
+    from fermat_tpu.scene.procedural import bathroom_standin
+
+    room, cam, tdir = bathroom_standin(n_boxes=8300)
+    view = SceneView.build(room, cam, texture_dir=tdir)
+else:
+    room = big_room(n_boxes=8300)
+    cam = Camera.create(eye=(0.0, 3.0, 10.0), aim=(0.0, 1.5, 0.0))
+    view = SceneView.build(room, cam)
 lobes = scene_lobes(room.materials)
 base = PTOptions(max_path_length=6, lobes=lobes, tracer="frontier")
 W, H = 1600, 896
@@ -56,6 +64,10 @@ def timed_pass(tag, opts):
 
 
 tA = timed_pass("A full mpl=6", base)
+timed_pass("A2 no-NEE mpl=6", base._replace(direct_lighting_nee=False,
+                                            indirect_lighting_nee=False))
+timed_pass("A3 fixed-light mpl=6", base._replace(debug_nee_fixed_light=True))
+timed_pass("A4 cheap-eval mpl=6", base._replace(debug_nee_cheap_eval=True))
 tB = timed_pass("B no-shadow mpl=6", base._replace(debug_nee_no_shadow=True))
 tC = timed_pass("C full mpl=2", base._replace(max_path_length=2))
 tD = timed_pass("D full mpl=1", base._replace(max_path_length=1))

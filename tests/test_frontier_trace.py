@@ -160,3 +160,23 @@ def test_frontier_visit_counts_multiround_not_larger():
                                    rounds=(4, 0), return_visits=True)
     assert v2.shape[0] == 2 * v1.shape[0]
     assert float(v2.sum()) <= float(v1.sum()) * 1.35 + 8 * 2
+
+
+def test_frontier_sah_clusters_match_brute():
+    """SAH-leaf clustering (VERDICT r3 next#2: 'SAH-guided clustering
+    A/B'd vs morton') must be exact through the frontier tracer."""
+    mesh = random_soup(1500, seed=29).device_view()
+    cl = build_clusters(mesh, method="sah")
+    o, d = _rays(11, n=512)
+    tmin, tmax = jnp.float32(1e-4), jnp.float32(3e38)
+    h_ref = trace_closest_brute(mesh, o, d, tmin, tmax)
+    h_fr = trace_closest_frontier(cl, o, d, tmin, tmax, block=256)
+    m = np.asarray(h_ref.hit_mask)
+    np.testing.assert_array_equal(m, np.asarray(h_fr.hit_mask))
+    np.testing.assert_allclose(
+        np.asarray(h_fr.t)[m], np.asarray(h_ref.t)[m], rtol=1e-5, atol=1e-5
+    )
+    occ_ref = np.asarray(trace_any_brute(mesh, o, d, tmin, jnp.float32(8.0)))
+    occ_fr = np.asarray(trace_any_frontier(cl, o, d, tmin, jnp.float32(8.0),
+                                           block=256))
+    np.testing.assert_array_equal(occ_ref, occ_fr)

@@ -100,6 +100,13 @@ class PTOptions(NamedTuple):
     # glossy reflection model: "ggx" (default) | "ltc" (the reference's
     # USE_LTC alternative, bsdf.h:89 — table-driven LTC proxy, bsdf/ltc.py)
     glossy_model: str = "ggx"
+    # fused per-bounce shade/NEE Pallas kernel (ops/pallas_shade.py):
+    # "auto" = on TPU when eligible (concrete view, mesh-NEE, no env map /
+    # analytic / point / dir lights, ggx, no clearcoat, forward render);
+    # "on" = force where eligible on any backend (CPU = interpret mode —
+    # slow, for parity tests); "off" = always the XLA shade. Loop bounces
+    # only; bounce 0 (gbuffer, channel routing) stays XLA.
+    fused_shade: str = "auto"
     # debug: detach whole contribution classes in the backward pass
     detach_nee: bool = False
     detach_emissive: bool = False
@@ -107,6 +114,26 @@ class PTOptions(NamedTuple):
     debug_nee_no_shadow: bool = False  # skip the shadow anyhit (biased!)
     debug_nee_fixed_light: bool = False  # skip lights.sample (biased!)
     debug_nee_cheap_eval: bool = False  # diffuse-only f instead of f_split
+
+
+def _any_emissive_maps(view) -> bool:
+    """Static probe: does ANY emissive triangle carry an emissive map?
+
+    When none do (e.g. the bathroom2 stand-in — textured surfaces but a
+    plain emitter), the textured-NEE path's 4-tap atlas gather per lane
+    per bounce is pure waste (`textures.sample` still gathers texels
+    before selecting white for map id -1); measured ~2.5 s of the 14.1 s
+    bathroom pass (tools/tpu_pass_attrib.py round 4). Conservative: a
+    TRACED view (gradient paths) returns True and keeps the general
+    textured branch."""
+    try:
+        import numpy as _np
+
+        rows = _np.asarray(jax.device_get(view.lights.rows))
+        pdf = _np.asarray(jax.device_get(view.lights.pdf_area))
+        return bool((rows[pdf > 0.0, 22] >= 0.0).any())
+    except Exception:  # noqa: BLE001 — tracer or missing cols
+        return True
 
 
 def _trace_mode(n_triangles: int, opts: PTOptions, has_clusters: bool) -> str:
@@ -376,6 +403,34 @@ def render_pass(
         seq = TiledSequence.create(seed=seed).set_instance(instance)
     closest, anyhit = _pick_tracers(view, opts)
     anyhit_direct, anyhit_indirect = _pick_shadow_anyhits(view, opts, anyhit)
+
+    # fused per-bounce shade kernel (VERDICT r3 #3): loop bounces route
+    # through ONE pallas_call instead of ~20 XLA fusions; eligibility +
+    # host table build in ops/pallas_shade (None = fall back, e.g. under
+    # a traced view = the differentiable train path)
+    fused_tables = None
+    if (
+        (opts.fused_shade == "on"
+         or (opts.fused_shade == "auto"
+             and jax.default_backend() in ("tpu", "axon")))
+        and sequence is None
+        and opts.nee == "mesh"
+        and opts.glossy_model == "ggx"
+        and not opts.clearcoat
+        and not (opts.debug_nee_no_shadow or opts.debug_nee_fixed_light
+                 or opts.debug_nee_cheap_eval)
+        and not (opts.detach_nee or opts.detach_emissive)
+        and opts.max_path_length > 1
+    ):
+        from fermat_tpu.ops.pallas_shade import build_shade_tables
+
+        try:
+            fused_tables = build_shade_tables(view)
+        except Exception:  # noqa: BLE001 — any doubt: XLA path
+            fused_tables = None
+    if fused_tables is not None:
+        _fused_env = tuple(float(v) for v in np.asarray(
+            jax.device_get(view.env)))
 
     jx, jy = seq.sample_2d(pix, jnp.uint32(0))
     o, d, _ = generate_camera_rays(view.camera, res_x, res_y, jx, jy, pix)
@@ -659,7 +714,7 @@ def render_pass(
                 # VPL set (mesh_lights.cu VPL mode; Le already textured)
                 lpos, ln, lle, lpdf_a, _ltri = view.vpls.sample(ul2)
             else:
-                if view.has_textures:
+                if view.has_textures and _any_emissive_maps(view):
                     (lpos, ln, lle, lpdf_a, _ltri, luv_u, luv_v,
                      lemap) = view.lights.sample_ex(view.mesh, ul0, ul1, ul2)
                     from fermat_tpu.scene.textures import modulate as _mod
@@ -988,6 +1043,121 @@ def render_pass(
             channel=new_channel,
         )
 
+    def bounce_fused(b, c: Carry) -> Carry:
+        """Loop bounce via the fused shade kernel (ops/pallas_shade):
+        trace + gathers + QMC in XLA, ONE pallas_call for everything
+        elementwise, shadow anyhit + two masked adds after. Same math and
+        the same QMC dims as bounce(); parity pinned in
+        tests/test_fused_shade.py."""
+        from fermat_tpu.ops.gather import gather_rows
+        from fermat_tpu.ops.pallas_shade import shade_bounce_fused
+
+        hit = closest(c.o, c.d, jnp.float32(eps), jnp.float32(3.0e38),
+                      c.alive)
+        c = c._replace(
+            rays=c.rays + jnp.sum(c.alive.astype(jnp.float32)),
+            rays_lane=c.rays_lane + c.alive.astype(jnp.float32),
+        )
+        valid = c.alive & hit.hit_mask
+        tri_c = jnp.maximum(hit.tri, 0)
+        pos, gn, sn, uv, mat_id, lod_base, mats = view.mesh.shade_fetch(
+            tri_c, hit.u, hit.v, table=shade_tab
+        )
+        params = BsdfParams.from_materials(mats)
+        cone_w = c.cone_width + jnp.where(valid, hit.t, 0.0) * cone_spread
+        c = c._replace(cone_width=cone_w)
+        le = mats.emissive
+        if view.has_textures:
+            from fermat_tpu.scene.textures import modulate
+
+            d_tex = mats.diffuse_map
+            res0 = view.textures.width[jnp.maximum(d_tex, 0), 0].astype(
+                jnp.float32)
+            lod = (
+                lod_base
+                + jnp.log2(jnp.maximum(cone_w, 1e-8))
+                + jnp.log2(jnp.maximum(res0, 1.0))
+            )
+            rgba_d = view.textures.sample(d_tex, uv[:, 0], uv[:, 1], lod)
+            rgba_s = view.textures.sample(mats.specular_map, uv[:, 0],
+                                          uv[:, 1], lod)
+            params = params._replace(
+                diffuse=modulate(params.diffuse, rgba_d),
+                specular=modulate(params.specular, rgba_s),
+            )
+            rgba_e = view.textures.sample(mats.emissive_map, uv[:, 0],
+                                          uv[:, 1], None)
+            le = modulate(le, rgba_e)
+        pdf_area_hit = view.lights.pdf_area_of(tri_c)
+        ecoef = gather_rows(fused_tables.ecoef, mat_id)  # (N, 33)
+
+        stride_f = opts.dims_per_bounce
+        base_dim = jnp.uint32(2) + jnp.asarray(b, jnp.uint32) * jnp.uint32(
+            stride_f)
+        ul0, ul1, ul2 = seq.sample_3d(c.pix_u, base_dim)
+        ub0, ub1, ub2 = seq.sample_3d(c.pix_u, base_dim + jnp.uint32(3))
+        u_rr = (seq.sample_1d(c.pix_u, base_dim + jnp.uint32(6))
+                if opts.rr else jnp.zeros(n, jnp.float32))
+
+        f32 = lambda a: a.astype(jnp.float32)
+        outs = shade_bounce_fused(
+            fused_tables, opts, _fused_env, b,
+            dict(
+                posx=pos.x, posy=pos.y, posz=pos.z,
+                dx=c.d.x, dy=c.d.y, dz=c.d.z, t=hit.t, valid=f32(valid),
+                gnx=gn.x, gny=gn.y, gnz=gn.z,
+                snx=sn.x, sny=sn.y, snz=sn.z,
+                thrx=c.thr.x, thry=c.thr.y, thrz=c.thr.z,
+                prev_pdf=c.prev_pdf, channel=f32(c.channel),
+                alive=f32(c.alive),
+                dfx=params.diffuse.x, dfy=params.diffuse.y,
+                dfz=params.diffuse.z,
+                spx=params.specular.x, spy=params.specular.y,
+                spz=params.specular.z,
+                dtx=params.diffuse_trans.x, dty=params.diffuse_trans.y,
+                dtz=params.diffuse_trans.z,
+                rfx=params.reflectivity.x, rfy=params.reflectivity.y,
+                rfz=params.reflectivity.z,
+                rough=params.roughness, ior=params.ior,
+                opac=params.opacity,
+                emx=le.x, emy=le.y, emz=le.z, pdfa_hit=pdf_area_hit,
+                ul0=ul0, ul1=ul1, ul2=ul2, ub0=ub0, ub1=ub1, ub2=ub2,
+                urr=u_rr, ecoef=ecoef,
+            ),
+        )
+        c = c._replace(
+            l_direct=Vec3(c.l_direct.x + outs["ldx"],
+                          c.l_direct.y + outs["ldy"],
+                          c.l_direct.z + outs["ldz"]),
+            l_diffuse=Vec3(c.l_diffuse.x + outs["lfx"],
+                           c.l_diffuse.y + outs["lfy"],
+                           c.l_diffuse.z + outs["lfz"]),
+            l_specular=Vec3(c.l_specular.x + outs["lsx"],
+                            c.l_specular.y + outs["lsy"],
+                            c.l_specular.z + outs["lsz"]),
+        )
+        able = outs["able"] > 0.0
+        sh_o = Vec3(outs["shox"], outs["shoy"], outs["shoz"])
+        sh_d = Vec3(outs["shdx"], outs["shdy"], outs["shdz"])
+        occluded = anyhit_indirect(sh_o, sh_d, jnp.float32(0.0),
+                                   outs["shtmax"], able)
+        c = c._replace(
+            rays=c.rays + jnp.sum(able.astype(jnp.float32)),
+            rays_lane=c.rays_lane + able.astype(jnp.float32),
+        )
+        lit = able & ~occluded
+        c = add_routed(
+            c, Vec3(outs["neex"], outs["neey"], outs["neez"]), lit,
+            c.channel,
+        )
+        return c._replace(
+            o=Vec3(outs["nox"], outs["noy"], outs["noz"]),
+            d=Vec3(outs["ndx"], outs["ndy"], outs["ndz"]),
+            thr=Vec3(outs["nthrx"], outs["nthry"], outs["nthrz"]),
+            alive=outs["nalive"] > 0.0,
+            prev_pdf=outs["npdf"],
+        )
+
     def compact_carry(c: Carry) -> Carry:
         """Permute lanes so live ones form a dense prefix (queue-append
         analog via ops/compact; sort-free cumsum permutation). A pure
@@ -1009,7 +1179,9 @@ def render_pass(
     # bounce 0 peeled (static routing); bounces 1..max in a fori_loop
     carry = bounce(0, carry, True)
     if opts.max_path_length > 1:
-        if opts.queue_compaction:
+        if fused_tables is not None:
+            body = lambda b, c: bounce_fused(b, c)
+        elif opts.queue_compaction:
             body = lambda b, c: bounce(b, compact_carry(c), False)
         else:
             body = lambda b, c: bounce(b, c, False)

@@ -1099,6 +1099,20 @@ def render_pass(
         u_rr = (seq.sample_1d(c.pix_u, base_dim + jnp.uint32(6))
                 if opts.rr else jnp.zeros(n, jnp.float32))
 
+        # light sampling in XLA (identical ops to bounce(); the kernel
+        # takes the sampled point/normal/Le/pdf as lanes)
+        if view.has_textures and _any_emissive_maps(view):
+            (lpos, ln, lle, lpdf_a, _ltri, luv_u, luv_v,
+             lemap) = view.lights.sample_ex(view.mesh, ul0, ul1, ul2)
+            from fermat_tpu.scene.textures import modulate as _mod
+
+            rgba_l = view.textures.sample(lemap, luv_u, luv_v, None)
+            lle = _mod(lle, rgba_l)
+        else:
+            lpos, ln, lle, lpdf_a, _ltri = view.lights.sample(
+                view.mesh, ul0, ul1, ul2
+            )
+
         f32 = lambda a: a.astype(jnp.float32)
         outs = shade_bounce_fused(
             fused_tables, opts, _fused_env, b,
@@ -1121,7 +1135,10 @@ def render_pass(
                 rough=params.roughness, ior=params.ior,
                 opac=params.opacity,
                 emx=le.x, emy=le.y, emz=le.z, pdfa_hit=pdf_area_hit,
-                ul0=ul0, ul1=ul1, ul2=ul2, ub0=ub0, ub1=ub1, ub2=ub2,
+                lpx=lpos.x, lpy=lpos.y, lpz=lpos.z,
+                lnx=ln.x, lny=ln.y, lnz=ln.z,
+                llex=lle.x, lley=lle.y, llez=lle.z, lpdfa=lpdf_a,
+                ub0=ub0, ub1=ub1, ub2=ub2,
                 urr=u_rr, ecoef=ecoef,
             ),
         )

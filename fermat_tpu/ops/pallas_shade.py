@@ -9,11 +9,16 @@ irreducibly-gathering fetches stay OUTSIDE, and everything elementwise in
 a bounce fuses into one pallas_call:
 
     XLA per bounce:  closest trace -> 52-col shade-row gather (+ texture
-                     atlas modulate) -> 7 QMC dims -> [THIS KERNEL] ->
-                     shadow anyhit -> 2 masked adds -> next bounce
-    in-kernel:       env-miss pickup, emissive MIS, light-CDF inversion
-                     + NEE (sample, f_split, MIS weight, shadow-ray
-                     setup), BSDF sampling, RR, channel routing.
+                     atlas modulate) -> QMC dims -> light CDF inversion +
+                     row gather -> [THIS KERNEL] -> shadow anyhit ->
+                     2 masked adds -> next bounce
+    in-kernel:       env-miss pickup, emissive MIS, NEE geometry +
+                     f_split + MIS weight + shadow-ray setup, BSDF
+                     sampling, RR, channel routing.
+
+Light sampling stays in XLA (searchsorted over the emissive CDF + one row
+gather = two fusions when jitted) so the kernel has NO light-count limit
+and textured emitters modulate exactly like the XLA path.
 
 Why: the XLA pipeline pays ~20 fusion dispatches per bounce; measured on
 big_room 1600x896x6 (tools/tpu_pass_attrib.py, round 4) the NEE+shade
@@ -25,8 +30,7 @@ Same math as integrators/pt.py (f_split / sample / power_heuristic are
 the SAME functions), with two deliberate deltas, both shared with the
 megakernel: the GGX energy table evaluates through an exact-at-the-knots
 PWL (per-lane coefficients gathered outside; rtol ~2e-4 vs the bilinear
-table) and light sampling inverts a COMPRESSED cdf over the emissive
-subset (bit-equal picks to the full-length searchsorted).
+table).
 
 Differentiability: forward-only (pallas_call has no VJP); render_pass
 auto-falls back to the XLA shade whenever the view is traced (training)
@@ -56,8 +60,8 @@ from fermat_tpu.core.math import (
     to_local,
     to_world,
 )
-from fermat_tpu.core.sampling import power_heuristic, square_to_uniform_triangle
-from fermat_tpu.ops.pallas_pt_mega import _e_pwl_coeffs, _replicate
+from fermat_tpu.core.sampling import power_heuristic
+from fermat_tpu.ops.pallas_pt_mega import _e_pwl_coeffs
 
 Array = jax.Array
 
@@ -72,9 +76,8 @@ def _interpret() -> bool:
 class ShadeTables(NamedTuple):
     """Static (host-built) tables for the fused shade path."""
 
-    light: Array  # (L, 17, 128) lane-replicated emissive rows + cdf
     ecoef: Array  # (M, 33) E-PWL coefficients (XLA-side gather table)
-    n_lights: int
+    has_lights: bool
 
 
 def build_shade_tables(view) -> "ShadeTables | None":
@@ -84,11 +87,8 @@ def build_shade_tables(view) -> "ShadeTables | None":
       * concrete (non-traced) view — training paths stay differentiable
       * no env map (textured infinite light keeps the XLA path),
       * no analytic/point/directional lights (kept in XLA; can be added),
-      * no textured EMITTERS (Le modulation at the sampled light point
-        needs the atlas; emissive textures at the HIT are fine — they
-        arrive as per-lane inputs),
-      * <= 512 emissive triangles (in-kernel masked row fetch),
       * no per-material shadow-mask sets (masked shadow tracers differ).
+    Light COUNT is unbounded: sampling runs in XLA outside the kernel.
     """
     import jax.core as jcore
 
@@ -109,61 +109,15 @@ def build_shade_tables(view) -> "ShadeTables | None":
     if view.shadow_sets is not None:
         return None
     pdf_area = np.asarray(jax.device_get(lv.pdf_area))
-    cdf = np.asarray(jax.device_get(lv.cdf))
-    rows = np.asarray(jax.device_get(lv.rows))
-    emissive_ids = np.nonzero(pdf_area > 0.0)[0]
-    if emissive_ids.size == 0 or emissive_ids.size > 512:
-        return None
-    if view.has_textures:
-        # textured EMITTERS gate: any emissive row with an emissive map
-        if (rows[emissive_ids, 22] >= 0.0).any():
-            return None
-    lrows = np.concatenate(
-        [rows[emissive_ids, :16], cdf[emissive_ids, None]], axis=1
-    ).astype(np.float32)  # p0 e1 e2 gn Le pdf_area | cdf
+    has = bool((pdf_area > 0.0).any())
     mats = view.mesh.materials
     rough = np.asarray(jax.device_get(mats.roughness))
     ecoef = jnp.asarray(_e_pwl_coeffs(rough))
-    return ShadeTables(
-        light=jnp.asarray(_replicate(lrows, 17)),
-        ecoef=ecoef,
-        n_lights=int(emissive_ids.size),
-    )
+    return ShadeTables(ecoef=ecoef, has_lights=has)
 
 
 def _row(ref, i, c):
     return ref[i, c, :].reshape(1, 128)
-
-
-def _sample_light(light_ref, n_lights, u0, u1, u2):
-    """Compressed-cdf inversion + row fetch (bit-equal picks to the full
-    searchsorted(cdf, u2, 'right') because the cdf only steps at emissive
-    rows — mesh_lights.cu:166-285 analog, same as the megakernel's)."""
-    shape = u2.shape
-    zero = jnp.zeros(shape, jnp.float32)
-    idx = jnp.zeros(shape, jnp.int32)
-    for li in range(n_lights):
-        cdf_l = _row(light_ref, li, 16)
-        idx = idx + jnp.where(cdf_l <= u2, 1, 0)
-    idx = jnp.minimum(idx, n_lights - 1)
-    cols = [zero] * 16
-    for li in range(n_lights):
-        mk = idx == li
-        for c in range(16):
-            cols[c] = jnp.where(mk, _row(light_ref, li, c), cols[c])
-    p0 = Vec3(cols[0], cols[1], cols[2])
-    e1 = Vec3(cols[3], cols[4], cols[5])
-    e2 = Vec3(cols[6], cols[7], cols[8])
-    ln = Vec3(cols[9], cols[10], cols[11])
-    le = Vec3(cols[12], cols[13], cols[14])
-    pdf_a = cols[15]
-    b0, b1 = square_to_uniform_triangle(u0, u1)
-    pos = Vec3(
-        p0.x + e1.x * b0 + e2.x * b1,
-        p0.y + e1.y * b0 + e2.y * b1,
-        p0.z + e1.z * b0 + e2.z * b1,
-    )
-    return pos, ln, le, pdf_a
 
 
 def _offset_origin(pos, gn, d, eps):
@@ -185,16 +139,17 @@ def _shade_kernel(
     dtx, dty, dtz, rfx, rfy, rfz,
     rough_r, ior_r, opac_r,
     emx, emy, emz, pdfa_hit_r,
-    ul0_r, ul1_r, ul2_r, ub0_r, ub1_r, ub2_r, urr_r,
+    lpx_r, lpy_r, lpz_r, lnx_r, lny_r, lnz_r,
+    llex_r, lley_r, llez_r, lpdfa_r,
+    ub0_r, ub1_r, ub2_r, urr_r,
     ec_refs,  # tuple of 33 (8, 128) E-PWL coeff refs (packed last in in-list)
-    light_ref,
     # outputs
     ldx_o, ldy_o, ldz_o, lfx_o, lfy_o, lfz_o, lsx_o, lsy_o, lsz_o,
     neex_o, neey_o, neez_o, shox_o, shoy_o, shoz_o,
     shdx_o, shdy_o, shdz_o, shtmax_o, able_o,
     nox_o, noy_o, noz_o, ndx_o, ndy_o, ndz_o,
     nthrx_o, nthry_o, nthrz_o, nalive_o, npdf_o, nchan_o,
-    *, n_lights: int, opts, env, eps: float,
+    *, has_lights: bool, opts, env, eps: float,
 ):
     ld = lambda r: r[:]
     b = b_ref[0, 0]
@@ -288,11 +243,11 @@ def _shade_kernel(
     sh_d = Vec3(zero, zero, jnp.ones(shape, jnp.float32))
     sh_tmax = jnp.full(shape, -1.0, jnp.float32)
     able = jnp.zeros(shape, bool)
-    if opts.indirect_lighting_nee and n_lights > 0:
-        ul0, ul1, ul2 = ld(ul0_r), ld(ul1_r), ld(ul2_r)
-        lpos, ln, lle, lpdf_a = _sample_light(
-            light_ref, n_lights, ul0, ul1, ul2
-        )
+    if opts.indirect_lighting_nee and has_lights:
+        lpos = Vec3(ld(lpx_r), ld(lpy_r), ld(lpz_r))
+        ln = Vec3(ld(lnx_r), ld(lny_r), ld(lnz_r))
+        lle = Vec3(ld(llex_r), ld(lley_r), ld(llez_r))
+        lpdf_a = ld(lpdfa_r)
         to_l = Vec3(lpos.x - pos.x, lpos.y - pos.y, lpos.z - pos.z)
         dist2 = jnp.maximum(dot(to_l, to_l), 1e-12)
         dist = jnp.sqrt(dist2)
@@ -386,12 +341,9 @@ def shade_bounce_fused(
     ins += [prep(lanes["ecoef"][:, j]) for j in range(33)]
 
     lane_spec = pl.BlockSpec((8, 128), lambda i: (i, 0))
-    ltab = tables.light
-    light_spec = pl.BlockSpec(
-        (ltab.shape[0], 17, 128), lambda i: (0, 0, 0))
     out_names = _OUTS
     kernel = functools.partial(
-        _wrapped_kernel, n_lights=tables.n_lights, opts=opts,
+        _wrapped_kernel, has_lights=tables.has_lights, opts=opts,
         env=tuple(float(v) for v in env), eps=float(opts.ray_eps),
     )
     outs = pl.pallas_call(
@@ -402,26 +354,24 @@ def shade_bounce_fused(
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [lane_spec] * (len(names) + 33)
-            + [light_spec]
         ),
         out_specs=[lane_spec] * len(out_names),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(jnp.asarray(b, jnp.int32).reshape(1, 1), *ins, ltab)
+    )(jnp.asarray(b, jnp.int32).reshape(1, 1), *ins)
     flat = lambda a: a.reshape(n_pad)[:n]
     return {k: flat(v) for k, v in zip(out_names, outs)}
 
 
-def _wrapped_kernel(b_ref, *refs, n_lights, opts, env, eps):
+def _wrapped_kernel(b_ref, *refs, has_lights, opts, env, eps):
     n_named = len(_LANES)
     lane_refs = refs[:n_named]
     ec_refs = refs[n_named:n_named + 33]
-    light_ref = refs[n_named + 33]
-    out_refs = refs[n_named + 34:]
+    out_refs = refs[n_named + 33:]
     _shade_kernel(
-        b_ref, *lane_refs, ec_refs, light_ref, *out_refs,
-        n_lights=n_lights, opts=opts, env=env, eps=eps,
+        b_ref, *lane_refs, ec_refs, *out_refs,
+        has_lights=has_lights, opts=opts, env=env, eps=eps,
     )
 
 
@@ -433,7 +383,9 @@ _LANES = (
     "dtx", "dty", "dtz", "rfx", "rfy", "rfz",
     "rough", "ior", "opac",
     "emx", "emy", "emz", "pdfa_hit",
-    "ul0", "ul1", "ul2", "ub0", "ub1", "ub2", "urr",
+    "lpx", "lpy", "lpz", "lnx", "lny", "lnz",
+    "llex", "lley", "llez", "lpdfa",
+    "ub0", "ub1", "ub2", "urr",
 )
 
 _OUTS = (

@@ -43,10 +43,14 @@ def run_one(scene: str, tracer: str) -> dict:
 
     opts = PTOptions(max_path_length=6, lobes=scene_lobes(mesh.materials),
                      tracer=tracer)
-    out = render_pass(view, opts, 1600, 896, jnp.uint32(0))
+    # JIT the whole pass: eager render_pass pays per-op dispatch through
+    # the axon tunnel (measured 2-3x inflation at 1600x896; the round-3
+    # secondary numbers carried this tax)
+    fn = jax.jit(lambda inst: render_pass(view, opts, 1600, 896, inst))
+    out = fn(jnp.uint32(0))
     jax.block_until_ready(out.composited.x)
     t0 = time.perf_counter()
-    out = render_pass(view, opts, 1600, 896, jnp.uint32(1))
+    out = fn(jnp.uint32(1))
     jax.block_until_ready(out.composited.x)
     dt = time.perf_counter() - t0
     return {"mrays": float(out.rays) / dt / 1e6, "spp_s": 1.0 / dt,

@@ -51,9 +51,16 @@ def check(scene):
     view, mesh, W, H = build(scene)
     opts = PTOptions(max_path_length=6, lobes=scene_lobes(mesh.materials))
 
+    # JIT the whole pass: an eager render_pass dispatches thousands of
+    # ops one-by-one through the axon tunnel (cornell512: 21.8 s eager vs
+    # ~0.14 s jitted — round-4 discovery; the round-3 secondary bench
+    # numbers carried the same eager tax)
+    fns = {f: jax.jit(lambda inst, f=f: render_pass(
+        view, opts._replace(fused_shade=f), W, H, inst))
+        for f in ("off", "auto")}
+
     def run(fused, inst):
-        o = render_pass(view, opts._replace(fused_shade=fused), W, H,
-                        jnp.uint32(inst))
+        o = fns[fused](jnp.uint32(inst))
         jax.block_until_ready(o.composited.x)
         return o
 

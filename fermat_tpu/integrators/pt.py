@@ -1099,19 +1099,38 @@ def render_pass(
         u_rr = (seq.sample_1d(c.pix_u, base_dim + jnp.uint32(6))
                 if opts.rr else jnp.zeros(n, jnp.float32))
 
-        # light sampling in XLA (identical ops to bounce(); the kernel
-        # takes the sampled point/normal/Le/pdf as lanes)
+        # light sampling in XLA from the COMPACT emissive-only table
+        # (same math as lights.sample/sample_ex, bit-equal triangle
+        # picks; the full-length tables cost a 100k-entry searchsorted
+        # + 23-col scalar gather per bounce at bigroom scale)
+        from fermat_tpu.core.sampling import square_to_uniform_triangle
+
+        lcdf = fused_tables.light_cdf
+        lr = fused_tables.light_rows
+        n_l = lcdf.shape[0]
+        if n_l <= 2048:
+            ltri = jnp.sum((lcdf[None, :] <= ul2[:, None]).astype(jnp.int32),
+                           axis=1)
+        else:
+            ltri = jnp.searchsorted(lcdf, ul2, side="right").astype(jnp.int32)
+        ltri = jnp.clip(ltri, 0, n_l - 1)
+        from fermat_tpu.ops.gather import gather_rows as _grows
+
+        lrow = _grows(lr, ltri)
+        lb0, lb1 = square_to_uniform_triangle(ul0, ul1)
+        _lv = lambda ci: Vec3(lrow[:, ci], lrow[:, ci + 1], lrow[:, ci + 2])
+        _lp0, _le1, _le2 = _lv(0), _lv(3), _lv(6)
+        ln, lle = _lv(9), _lv(12)
+        lpos = _lp0 + _le1 * lb0 + _le2 * lb1
+        lpdf_a = lrow[:, 15]
         if view.has_textures and _any_emissive_maps(view):
-            (lpos, ln, lle, lpdf_a, _ltri, luv_u, luv_v,
-             lemap) = view.lights.sample_ex(view.mesh, ul0, ul1, ul2)
             from fermat_tpu.scene.textures import modulate as _mod
 
+            luv_u = lrow[:, 16] + lrow[:, 18] * lb0 + lrow[:, 20] * lb1
+            luv_v = lrow[:, 17] + lrow[:, 19] * lb0 + lrow[:, 21] * lb1
+            lemap = lrow[:, 22].astype(jnp.int32)
             rgba_l = view.textures.sample(lemap, luv_u, luv_v, None)
             lle = _mod(lle, rgba_l)
-        else:
-            lpos, ln, lle, lpdf_a, _ltri = view.lights.sample(
-                view.mesh, ul0, ul1, ul2
-            )
 
         f32 = lambda a: a.astype(jnp.float32)
         outs = shade_bounce_fused(

@@ -78,6 +78,16 @@ class ShadeTables(NamedTuple):
 
     ecoef: Array  # (M, 33) E-PWL coefficients (XLA-side gather table)
     has_lights: bool
+    # COMPACT emissive-only light table for the XLA-side sampling: the
+    # full-length MeshLightsView tables span ALL T triangles, so at
+    # bigroom scale each bounce paid a searchsorted over 100k entries
+    # plus a 23-col scalar row gather (measured: the fused pass got
+    # SLOWER than XLA, 4.42 vs 4.23 s). The cdf only steps at emissive
+    # rows, so sampling from the compressed table picks the identical
+    # physical triangle; at L <= 2048 the pick is a fused compare+sum
+    # and the row fetch rides the one-hot MXU path.
+    light_rows: Array  # (L, 23) = MeshLightsView.rows[emissive]
+    light_cdf: Array  # (L,) compressed inclusive cdf
 
 
 def build_shade_tables(view) -> "ShadeTables | None":
@@ -109,11 +119,22 @@ def build_shade_tables(view) -> "ShadeTables | None":
     if view.shadow_sets is not None:
         return None
     pdf_area = np.asarray(jax.device_get(lv.pdf_area))
-    has = bool((pdf_area > 0.0).any())
+    emissive_ids = np.nonzero(pdf_area > 0.0)[0]
+    has = emissive_ids.size > 0
+    rows = np.asarray(jax.device_get(lv.rows))
+    cdf = np.asarray(jax.device_get(lv.cdf))
+    if has:
+        lrows = rows[emissive_ids].astype(np.float32)
+        lcdf = cdf[emissive_ids].astype(np.float32)
+    else:
+        lrows = np.zeros((1, rows.shape[1]), np.float32)
+        lcdf = np.ones((1,), np.float32)
     mats = view.mesh.materials
     rough = np.asarray(jax.device_get(mats.roughness))
     ecoef = jnp.asarray(_e_pwl_coeffs(rough))
-    return ShadeTables(ecoef=ecoef, has_lights=has)
+    return ShadeTables(ecoef=ecoef, has_lights=has,
+                       light_rows=jnp.asarray(lrows),
+                       light_cdf=jnp.asarray(lcdf))
 
 
 def _row(ref, i, c):

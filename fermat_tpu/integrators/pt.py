@@ -100,6 +100,12 @@ class PTOptions(NamedTuple):
     # glossy reflection model: "ggx" (default) | "ltc" (the reference's
     # USE_LTC alternative, bsdf.h:89 — table-driven LTC proxy, bsdf/ltc.py)
     glossy_model: str = "ggx"
+    # texture filtering: "bilinear" = mip level 0, EXACT reference parity
+    # (bilinear_texture_lookup, texture_view.h:143-179 — the reference's
+    # shading never selects mip levels) and half the gather taps;
+    # "trilinear" = ray-cone LOD over the mip chain (higher quality than
+    # the reference; the round-2/3 default)
+    texture_filter: str = "bilinear"
     # fused per-bounce shade/NEE Pallas kernel (ops/pallas_shade.py):
     # "auto" = on TPU when eligible (concrete view, mesh-NEE, no env map /
     # analytic / point / dir lights, ggx, no clearcoat, forward render);
@@ -587,15 +593,19 @@ def render_pass(
             from fermat_tpu.scene.textures import modulate
 
             d_tex = mats.diffuse_map
-            res0 = view.textures.width[jnp.maximum(d_tex, 0), 0].astype(jnp.float32)
-            lod = (
-                lod_base
-                + jnp.log2(jnp.maximum(cone_w, 1e-8))
-                + jnp.log2(jnp.maximum(res0, 1.0))
-            )
-            rgba_d = view.textures.sample(d_tex, uv[:, 0], uv[:, 1], lod)
             s_tex = mats.specular_map
-            rgba_s = view.textures.sample(s_tex, uv[:, 0], uv[:, 1], lod)
+            if opts.texture_filter == "trilinear":
+                res0 = view.textures.width[jnp.maximum(d_tex, 0), 0].astype(jnp.float32)
+                lod = (
+                    lod_base
+                    + jnp.log2(jnp.maximum(cone_w, 1e-8))
+                    + jnp.log2(jnp.maximum(res0, 1.0))
+                )
+                rgba_d = view.textures.sample(d_tex, uv[:, 0], uv[:, 1], lod)
+                rgba_s = view.textures.sample(s_tex, uv[:, 0], uv[:, 1], lod)
+            else:
+                rgba_d = view.textures.sample_bilinear0(d_tex, uv[:, 0], uv[:, 1])
+                rgba_s = view.textures.sample_bilinear0(s_tex, uv[:, 0], uv[:, 1])
             params = params._replace(
                 diffuse=modulate(params.diffuse, rgba_d),
                 specular=modulate(params.specular, rgba_s),
@@ -1071,16 +1081,22 @@ def render_pass(
             from fermat_tpu.scene.textures import modulate
 
             d_tex = mats.diffuse_map
-            res0 = view.textures.width[jnp.maximum(d_tex, 0), 0].astype(
-                jnp.float32)
-            lod = (
-                lod_base
-                + jnp.log2(jnp.maximum(cone_w, 1e-8))
-                + jnp.log2(jnp.maximum(res0, 1.0))
-            )
-            rgba_d = view.textures.sample(d_tex, uv[:, 0], uv[:, 1], lod)
-            rgba_s = view.textures.sample(mats.specular_map, uv[:, 0],
-                                          uv[:, 1], lod)
+            if opts.texture_filter == "trilinear":
+                res0 = view.textures.width[jnp.maximum(d_tex, 0), 0].astype(
+                    jnp.float32)
+                lod = (
+                    lod_base
+                    + jnp.log2(jnp.maximum(cone_w, 1e-8))
+                    + jnp.log2(jnp.maximum(res0, 1.0))
+                )
+                rgba_d = view.textures.sample(d_tex, uv[:, 0], uv[:, 1], lod)
+                rgba_s = view.textures.sample(mats.specular_map, uv[:, 0],
+                                              uv[:, 1], lod)
+            else:
+                rgba_d = view.textures.sample_bilinear0(
+                    d_tex, uv[:, 0], uv[:, 1])
+                rgba_s = view.textures.sample_bilinear0(
+                    mats.specular_map, uv[:, 0], uv[:, 1])
             params = params._replace(
                 diffuse=modulate(params.diffuse, rgba_d),
                 specular=modulate(params.specular, rgba_s),

@@ -13,7 +13,7 @@ too large for one-hot matmuls).
 """
 from __future__ import annotations
 
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +58,13 @@ class TextureAtlas(NamedTuple):
     width: Array  # (n_tex, MAX_LEVELS) i32
     height: Array  # (n_tex, MAX_LEVELS) i32
     n_levels: Array  # (n_tex,) i32
+    # (S,) u32 RGBA8-packed texels, present iff EVERY source image is
+    # 8-bit-exact (TGA path). One gathered element per tap instead of a
+    # 4-wide row: TPU gathers run ~element-per-cycle on the scalar unit,
+    # so this quarters texture-fetch cost losslessly (measured: textures
+    # were 5.6 s of the 11.25 s bathroom2 pass, round 4). None = float
+    # sources (PFM/HDR), row-gather fallback.
+    packed: Optional[Array] = None
 
     @property
     def count(self) -> int:
@@ -89,12 +96,22 @@ class TextureAtlas(NamedTuple):
                 hs[ti, li] = hs[ti, len(chain) - 1]
                 ws[ti, li] = ws[ti, len(chain) - 1]
         j = jnp.asarray
+        flat = np.concatenate(texels, 0)
+        # RGBA8 packing (lossless only for 8-bit sources; mip levels are
+        # box-filtered f32 means, so require 8-bit-exactness per LEVEL)
+        q = np.round(np.clip(flat, 0.0, 1.0) * 255.0)
+        packed = None
+        if np.abs(flat - q / 255.0).max() <= (0.5 / 255.0) * 1e-3 + 1e-6:
+            qi = q.astype(np.uint32)
+            packed = j((qi[:, 0] | (qi[:, 1] << 8) | (qi[:, 2] << 16)
+                        | (qi[:, 3] << 24)).astype(np.uint32))
         return TextureAtlas(
-            texels=j(np.concatenate(texels, 0)),
+            texels=j(flat),
             offset=j(offs.astype(np.int32)),
             width=j(ws.astype(np.int32)),
             height=j(hs.astype(np.int32)),
             n_levels=j(nl.astype(np.int32)),
+            packed=packed,
         )
 
     def _level_fetch(self, tex: Array, level: Array, u: Array, v: Array):
@@ -113,8 +130,20 @@ class TextureAtlas(NamedTuple):
         x1i = jnp.mod(x0i + 1, w)
         y1i = jnp.mod(y0i + 1, h)
 
-        def tap(xi, yi):
-            return self.texels[off + yi * w + xi]  # (N, 4)
+        if self.packed is not None:
+            inv255 = np.float32(1.0 / 255.0)
+
+            def tap(xi, yi):
+                p = self.packed[off + yi * w + xi]  # (N,) u32 — 1 elem/tap
+                return jnp.stack(
+                    [(p & 0xFF).astype(jnp.float32) * inv255,
+                     ((p >> 8) & 0xFF).astype(jnp.float32) * inv255,
+                     ((p >> 16) & 0xFF).astype(jnp.float32) * inv255,
+                     ((p >> 24) & 0xFF).astype(jnp.float32) * inv255],
+                    axis=-1)
+        else:
+            def tap(xi, yi):
+                return self.texels[off + yi * w + xi]  # (N, 4)
 
         c00 = tap(x0i, y0i)
         c10 = tap(x1i, y0i)
@@ -148,6 +177,16 @@ class TextureAtlas(NamedTuple):
                 self._level_fetch(tex_c, l0, u, v) * (1 - f)
                 + self._level_fetch(tex_c, l1, u, v) * f
             )
+        white = jnp.ones_like(rgba)
+        return jnp.where((tex < 0)[:, None], white, rgba)
+
+    def sample_bilinear0(self, tex: Array, u: Array, v: Array) -> Array:
+        """Bilinear at mip level 0 — EXACT reference parity
+        (bilinear_texture_lookup, src/texture_view.h:143-179: the
+        reference's PT shading always samples LOD 0; its mip chain exists
+        but shading never selects levels). Half the taps of trilinear."""
+        tex_c = jnp.maximum(tex, 0)
+        rgba = self._level_fetch(tex_c, jnp.zeros_like(tex_c), u, v)
         white = jnp.ones_like(rgba)
         return jnp.where((tex < 0)[:, None], white, rgba)
 

@@ -43,9 +43,14 @@ def _mip_chain(img: np.ndarray) -> List[np.ndarray]:
         img = img[yi][:, xi]
     chain = [img]
     while img.shape[0] > 1 or img.shape[1] > 1:
-        h2 = max(img.shape[0] // 2, 1)
-        w2 = max(img.shape[1] // 2, 1)
-        img = img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, 4).mean((1, 3))
+        # reduce each axis independently: a joint (h2,2,w2,2) reshape
+        # breaks on non-square chains once one axis hits 1 (e.g. 1x2)
+        if img.shape[0] > 1:
+            h2 = img.shape[0] // 2
+            img = img[: h2 * 2].reshape(h2, 2, img.shape[1], 4).mean(1)
+        if img.shape[1] > 1:
+            w2 = img.shape[1] // 2
+            img = img[:, : w2 * 2].reshape(img.shape[0], w2, 2, 4).mean(2)
         chain.append(img.astype(np.float32))
     return chain[:MAX_LEVELS]
 
@@ -65,6 +70,7 @@ class TextureAtlas(NamedTuple):
     # were 5.6 s of the 11.25 s bathroom2 pass, round 4). None = float
     # sources (PFM/HDR), row-gather fallback.
     packed: Optional[Array] = None
+    packed_r: Optional[Array] = None  # row-wrapped right neighbor of packed
 
     @property
     def count(self) -> int:
@@ -99,12 +105,37 @@ class TextureAtlas(NamedTuple):
         flat = np.concatenate(texels, 0)
         # RGBA8 packing (lossless only for 8-bit sources; mip levels are
         # box-filtered f32 means, so require 8-bit-exactness per LEVEL)
+        # 8-bit detection on the SOURCE levels only (mips are box-filter
+        # means); when all sources are 8-bit the whole chain quantizes to
+        # RGBA8 — standard GPU mip storage, and it keeps the float rows
+        # and the packed taps bit-consistent
+        lvl0 = np.concatenate([_mip_chain(im)[0].reshape(-1, 4)
+                               for im in images], 0)
+        q0 = np.round(np.clip(lvl0, 0.0, 1.0) * 255.0)
+        sources_8bit = np.abs(lvl0 - q0 / 255.0).max() \
+            <= (0.5 / 255.0) * 1e-3 + 1e-6
+        if sources_8bit:
+            flat = (np.round(np.clip(flat, 0.0, 1.0) * 255.0) / 255.0
+                    ).astype(np.float32)
         q = np.round(np.clip(flat, 0.0, 1.0) * 255.0)
         packed = None
+        packed_r = None
         if np.abs(flat - q / 255.0).max() <= (0.5 / 255.0) * 1e-3 + 1e-6:
             qi = q.astype(np.uint32)
-            packed = j((qi[:, 0] | (qi[:, 1] << 8) | (qi[:, 2] << 16)
-                        | (qi[:, 3] << 24)).astype(np.uint32))
+            pk = (qi[:, 0] | (qi[:, 1] << 8) | (qi[:, 2] << 16)
+                  | (qi[:, 3] << 24)).astype(np.uint32)
+            packed = j(pk)
+            # row-wrapped right neighbor per level: packed_r[o + y*w + x]
+            # = packed[o + y*w + (x+1)%w] — the (x0,y) and (x1,y) taps of
+            # a bilinear quad become ONE gathered index each (2 gathers
+            # per quad instead of 4)
+            pr = pk.copy()
+            for ti in range(len(images)):
+                for li in range(int(nl[ti])):
+                    o, wl, hl = int(offs[ti, li]), int(ws[ti, li]), int(hs[ti, li])
+                    lvl = pk[o:o + wl * hl].reshape(hl, wl)
+                    pr[o:o + wl * hl] = np.roll(lvl, -1, axis=1).reshape(-1)
+            packed_r = j(pr)
         return TextureAtlas(
             texels=j(flat),
             offset=j(offs.astype(np.int32)),
@@ -112,6 +143,7 @@ class TextureAtlas(NamedTuple):
             height=j(hs.astype(np.int32)),
             n_levels=j(nl.astype(np.int32)),
             packed=packed,
+            packed_r=packed_r,
         )
 
     def _level_fetch(self, tex: Array, level: Array, u: Array, v: Array):
@@ -184,9 +216,53 @@ class TextureAtlas(NamedTuple):
         """Bilinear at mip level 0 — EXACT reference parity
         (bilinear_texture_lookup, src/texture_view.h:143-179: the
         reference's PT shading always samples LOD 0; its mip chain exists
-        but shading never selects levels). Half the taps of trilinear."""
+        but shading never selects levels). Fast path for 8-bit atlases:
+        level-0 metadata rides a one-hot row fetch (MXU) and the quad
+        needs 2 packed gathers (packed + packed_r) instead of 8 float4
+        row gathers."""
         tex_c = jnp.maximum(tex, 0)
-        rgba = self._level_fetch(tex_c, jnp.zeros_like(tex_c), u, v)
+        if self.packed is None or self.packed_r is None:
+            rgba = self._level_fetch(tex_c, jnp.zeros_like(tex_c), u, v)
+            white = jnp.ones_like(rgba)
+            return jnp.where((tex < 0)[:, None], white, rgba)
+        from fermat_tpu.ops.gather import gather_rows
+
+        meta = jnp.stack(
+            [self.offset[:, 0].astype(jnp.float32),
+             self.width[:, 0].astype(jnp.float32),
+             self.height[:, 0].astype(jnp.float32)], axis=1)
+        m = gather_rows(meta, tex_c)
+        off = m[:, 0].astype(jnp.int32)
+        w = m[:, 1].astype(jnp.int32)
+        h = m[:, 2].astype(jnp.int32)
+        fu = u * m[:, 1] - 0.5
+        fv = v * m[:, 2] - 0.5
+        x0 = jnp.floor(fu)
+        y0 = jnp.floor(fv)
+        tx = (fu - x0)[:, None]
+        ty = (fv - y0)[:, None]
+        x0i = jnp.mod(x0.astype(jnp.int32), w)
+        y0i = jnp.mod(y0.astype(jnp.int32), h)
+        y1i = jnp.mod(y0i + 1, h)
+
+        inv255 = np.float32(1.0 / 255.0)
+
+        def unpack(pv):
+            return jnp.stack(
+                [(pv & 0xFF).astype(jnp.float32) * inv255,
+                 ((pv >> 8) & 0xFF).astype(jnp.float32) * inv255,
+                 ((pv >> 16) & 0xFF).astype(jnp.float32) * inv255,
+                 ((pv >> 24) & 0xFF).astype(jnp.float32) * inv255],
+                axis=-1)
+
+        i_top = off + y0i * w + x0i
+        i_bot = off + y1i * w + x0i
+        c00 = unpack(self.packed[i_top])
+        c10 = unpack(self.packed_r[i_top])
+        c01 = unpack(self.packed[i_bot])
+        c11 = unpack(self.packed_r[i_bot])
+        rgba = (c00 * (1 - tx) + c10 * tx) * (1 - ty) \
+            + (c01 * (1 - tx) + c11 * tx) * ty
         white = jnp.ones_like(rgba)
         return jnp.where((tex < 0)[:, None], white, rgba)
 

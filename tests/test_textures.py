@@ -33,7 +33,10 @@ class TestAtlas:
         atlas = TextureAtlas.build([img])
         t = jnp.zeros(1, jnp.int32)
         rgba = atlas.sample(t, jnp.asarray([0.5]), jnp.asarray([0.5]), jnp.asarray([20.0]))
-        np.testing.assert_allclose(np.asarray(rgba[0, :3]), img.mean((0, 1)), atol=1e-5)
+        # 8-bit sources store an RGBA8 mip chain (round 4): the top mip is
+        # the mean rounded to the nearest 1/255 step
+        np.testing.assert_allclose(np.asarray(rgba[0, :3]), img.mean((0, 1)),
+                                   atol=0.51 / 255.0)
 
     def test_negative_texture_is_white(self):
         atlas = TextureAtlas.build([checkerboard(8)])
@@ -86,3 +89,27 @@ class TestTexturedRender:
         # floor shows both bright and dark checker cells
         floor = img[24:, 8:24, 0]
         assert floor.max() > 2.0 * max(floor.min(), 1e-3)
+
+
+def test_bilinear0_fast_path_matches_generic():
+    """The packed 2-gather bilinear0 must match the generic float row
+    path exactly (8-bit sources -> both exact) including wrap taps."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fermat_tpu.scene.textures import TextureAtlas
+
+    rng = np.random.default_rng(5)
+    imgs = [
+        (rng.integers(0, 256, (8, 16, 4)) / 255.0).astype(np.float32),
+        (rng.integers(0, 256, (32, 8, 3)) / 255.0).astype(np.float32),
+    ]
+    at = TextureAtlas.build(imgs)
+    assert at.packed is not None and at.packed_r is not None
+    n = 512
+    tex = jnp.asarray(rng.integers(-1, 2, n), jnp.int32)
+    u = jnp.asarray(rng.random(n, np.float32) * 2.0 - 0.5)
+    v = jnp.asarray(rng.random(n, np.float32) * 2.0 - 0.5)
+    fast = np.asarray(at.sample_bilinear0(tex, u, v))
+    generic = np.asarray(
+        at._replace(packed=None, packed_r=None).sample_bilinear0(tex, u, v))
+    np.testing.assert_allclose(fast, generic, rtol=2e-6, atol=2e-6)

@@ -142,6 +142,61 @@ def _any_emissive_maps(view) -> bool:
         return True
 
 
+
+def _light_compact_tables(view):
+    """(rows (L, 23), cdf (L,)) over the EMISSIVE subset, or None.
+
+    The full-length MeshLightsView tables span ALL T triangles; at 100k
+    triangles the per-bounce searchsorted lowers to a ~17-step while loop
+    of 1.4M-lane gathers — measured 2.15 s of the 9.3 s bathroom pass and
+    a similar share of bigroom (PERF_ATTRIB_bathroom.md, round 4). The
+    cdf only steps at emissive rows, so sampling the compressed table
+    picks the identical physical triangle; at L <= 2048 the pick is a
+    fused compare+sum and the row fetch rides the one-hot MXU path.
+    Requires a concrete view (host compaction) — traced views (gradient
+    paths) return None and keep the general tables."""
+    import jax.core as jcore
+
+    lv = view.lights
+    if any(isinstance(leaf, jcore.Tracer)
+           for leaf in jax.tree_util.tree_leaves(lv)):
+        return None
+    pdf_area = np.asarray(jax.device_get(lv.pdf_area))
+    if pdf_area.shape[0] <= 2048:
+        return None  # small scene: the full table is already cheap
+    ids = np.nonzero(pdf_area > 0.0)[0]
+    if ids.size == 0:
+        return None
+    rows = np.asarray(jax.device_get(lv.rows))
+    cdf = np.asarray(jax.device_get(lv.cdf))
+    return (jnp.asarray(rows[ids].astype(np.float32)),
+            jnp.asarray(cdf[ids].astype(np.float32)))
+
+
+def _sample_lights_compact(compact, ul0, ul1, ul2):
+    """lights.sample() over the compact table (bit-equal picks).
+
+    Returns (pos, n, le, pdf_a, row) — `row` for the textured-emitter
+    uv/emap columns."""
+    from fermat_tpu.core.sampling import square_to_uniform_triangle
+    from fermat_tpu.ops.gather import gather_rows
+
+    rows, cdf = compact
+    n_l = cdf.shape[0]
+    if n_l <= 2048:
+        tri = jnp.sum((cdf[None, :] <= ul2[:, None]).astype(jnp.int32),
+                      axis=1)
+    else:
+        tri = jnp.searchsorted(cdf, ul2, side="right").astype(jnp.int32)
+    tri = jnp.clip(tri, 0, n_l - 1)
+    r = gather_rows(rows, tri)
+    b0, b1 = square_to_uniform_triangle(ul0, ul1)
+    vec = lambda ci: Vec3(r[:, ci], r[:, ci + 1], r[:, ci + 2])
+    p0, e1, e2, nrm, le = vec(0), vec(3), vec(6), vec(9), vec(12)
+    pos = p0 + e1 * b0 + e2 * b1
+    return pos, nrm, le, r[:, 15], (r, b0, b1)
+
+
 def _trace_mode(n_triangles: int, opts: PTOptions, has_clusters: bool) -> str:
     mode = opts.tracer
     if mode == "auto":
@@ -353,6 +408,9 @@ def direct_env_image(view: SceneView, res_x: int, res_y: int,
     closest, _ = _pick_tracers(view, PTOptions())
     seq = TiledSequence.create(seed).set_instance(instance)
     pix = jnp.arange(n, dtype=jnp.uint32)
+    light_compact = (None if opts.nee != "mesh"
+                     else _light_compact_tables(view))
+
     jx, jy = seq.sample_2d(pix, jnp.uint32(0))
     o, d, _ = generate_camera_rays(view.camera, res_x, res_y, jx, jy, pix)
     hit = closest(o, d, jnp.float32(1e-4), jnp.float32(3.0e38),
@@ -437,6 +495,9 @@ def render_pass(
     if fused_tables is not None:
         _fused_env = tuple(float(v) for v in np.asarray(
             jax.device_get(view.env)))
+
+    light_compact = (None if opts.nee != "mesh"
+                     else _light_compact_tables(view))
 
     jx, jy = seq.sample_2d(pix, jnp.uint32(0))
     o, d, _ = generate_camera_rays(view.camera, res_x, res_y, jx, jy, pix)
@@ -723,6 +784,17 @@ def render_pass(
                 # uniform pick from the presampled emission-proportional
                 # VPL set (mesh_lights.cu VPL mode; Le already textured)
                 lpos, ln, lle, lpdf_a, _ltri = view.vpls.sample(ul2)
+            elif light_compact is not None:
+                lpos, ln, lle, lpdf_a, (_lr, _lb0, _lb1) = (
+                    _sample_lights_compact(light_compact, ul0, ul1, ul2))
+                if view.has_textures and _any_emissive_maps(view):
+                    from fermat_tpu.scene.textures import modulate as _mod
+
+                    luv_u = _lr[:, 16] + _lr[:, 18] * _lb0 + _lr[:, 20] * _lb1
+                    luv_v = _lr[:, 17] + _lr[:, 19] * _lb0 + _lr[:, 21] * _lb1
+                    lemap = _lr[:, 22].astype(jnp.int32)
+                    rgba_l = view.textures.sample(lemap, luv_u, luv_v, None)
+                    lle = _mod(lle, rgba_l)
             else:
                 if view.has_textures and _any_emissive_maps(view):
                     (lpos, ln, lle, lpdf_a, _ltri, luv_u, luv_v,

@@ -52,6 +52,9 @@ def main() -> None:
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--out", default="PERF_ATTRIB.md")
     ap.add_argument("--bounces", type=int, default=6)
+    ap.add_argument("--scene", default="cornell")
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--fused", default="off")
     args = ap.parse_args()
 
     import jax
@@ -66,29 +69,47 @@ def main() -> None:
     from fermat_tpu.scene.view import SceneView
     from fermat_tpu.utils.profiling import capture_trace
 
-    res = args.res
-    scene = cornell_box(glossy_boxes=True)
-    opts = PTOptions(max_path_length=args.bounces, lobes=scene_lobes(scene.materials))
-    view = SceneView.build(scene, cornell_camera())
+    if args.scene == "bathroom":
+        from fermat_tpu.scene.procedural import bathroom_standin
+
+        scene, cam, tdir = bathroom_standin(n_boxes=8300)
+        view = SceneView.build(scene, cam, texture_dir=tdir)
+        res_x, res_y = 1600, 896
+    elif args.scene == "bigroom":
+        from fermat_tpu.core.camera import Camera
+        from fermat_tpu.scene.procedural import big_room
+
+        scene = big_room(n_boxes=8300)
+        cam = Camera.create(eye=(0.0, 3.0, 10.0), aim=(0.0, 1.5, 0.0))
+        view = SceneView.build(scene, cam)
+        res_x, res_y = 1600, 896
+    else:
+        scene = cornell_box(glossy_boxes=True)
+        view = SceneView.build(scene, cornell_camera())
+        res_x = res_y = args.res
+    opts = PTOptions(max_path_length=args.bounces,
+                     lobes=scene_lobes(scene.materials),
+                     fused_shade=args.fused)
 
     @jax.jit
     def one_pass(view, instance):
-        out = render_pass(view, opts, res, res, instance)
+        out = render_pass(view, opts, res_x, res_y, instance)
         return out.composited.x.sum(), out.rays
 
     trace_dir = "/tmp/fermat_trace_attrib"
     shutil.rmtree(trace_dir, ignore_errors=True)
     t0 = time.time()
-    r = capture_trace(lambda: one_pass(view, jnp.uint32(3)), trace_dir, n_runs=5)
+    r = capture_trace(lambda: one_pass(view, jnp.uint32(3)), trace_dir,
+                      n_runs=args.runs)
     print(f"capture done in {time.time()-t0:.1f}s, rays/pass={float(r[1]):.0f}")
 
     rows = aggregate(trace_dir)
     total = sum(v[0] for _, v in rows)
     lines = [
-        "# PERF_ATTRIB — 512^2 CornellBox PT pass, per-op device attribution",
+        f"# PERF_ATTRIB — {args.scene} PT pass, per-op device attribution",
         "",
         f"Captured on `{jax.devices()[0].device_kind}` "
-        f"({res}x{res}, {args.bounces} bounces, totals over 5 runs; ops inside "
+        f"({res_x}x{res_y}, {args.bounces} bounces, totals over {args.runs} runs; ops inside "
         "the bounce fori_loop run 5x per pass). Times joined with each "
         "fusion's `source` / `bytes_accessed` / `model_flops` trace args.",
         "",

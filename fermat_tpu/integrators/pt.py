@@ -107,12 +107,16 @@ class PTOptions(NamedTuple):
     # the reference; the round-2/3 default)
     texture_filter: str = "bilinear"
     # fused per-bounce shade/NEE Pallas kernel (ops/pallas_shade.py):
-    # "auto" = on TPU when eligible (concrete view, mesh-NEE, no env map /
-    # analytic / point / dir lights, ggx, no clearcoat, forward render);
+    # "off" (DEFAULT) = the XLA shade; "auto" = on TPU when eligible;
     # "on" = force where eligible on any backend (CPU = interpret mode —
-    # slow, for parity tests); "off" = always the XLA shade. Loop bounces
-    # only; bounce 0 (gbuffer, channel routing) stays XLA.
-    fused_shade: str = "auto"
+    # slow, for parity tests). Round-4 verdict: once the real per-bounce
+    # bottleneck (full-length light-CDF searchsorted) moved to compact
+    # tables in BOTH paths, the kernel LOSES to XLA fusion on every
+    # measured scene (bigroom 3.29 vs 3.10 s, bathroom 9.37 vs 8.89 s,
+    # cornell 0.19 vs 0.16 s) — producers can't fuse into a pallas_call,
+    # so ~55 input lanes materialize to HBM. Kept as an option + parity
+    # tests; the attribution story lives in ROOFLINE.md.
+    fused_shade: str = "off"
     # debug: detach whole contribution classes in the backward pass
     detach_nee: bool = False
     detach_emissive: bool = False

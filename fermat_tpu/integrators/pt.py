@@ -186,14 +186,23 @@ def _sample_lights_compact(compact, ul0, ul1, ul2):
     from fermat_tpu.ops.gather import gather_rows
 
     rows, cdf = compact
-    n_l = cdf.shape[0]
-    if n_l <= 2048:
-        tri = jnp.sum((cdf[None, :] <= ul2[:, None]).astype(jnp.int32),
-                      axis=1)
+    if jax.default_backend() in ("tpu", "axon"):
+        # fused pick+fetch kernel: the XLA compare+sum materializes the
+        # (N, L) compare matrix through a loop-tiled while (273 ms/bounce
+        # at L=544 — PERF_ATTRIB_bathroom.md)
+        from fermat_tpu.ops.pallas_cdf_gather import cdf_pick_rows
+
+        r = cdf_pick_rows(rows, cdf, ul2)
     else:
-        tri = jnp.searchsorted(cdf, ul2, side="right").astype(jnp.int32)
-    tri = jnp.clip(tri, 0, n_l - 1)
-    r = gather_rows(rows, tri)
+        n_l = cdf.shape[0]
+        if n_l <= 2048:
+            tri = jnp.sum((cdf[None, :] <= ul2[:, None]).astype(jnp.int32),
+                          axis=1)
+        else:
+            tri = jnp.searchsorted(cdf, ul2,
+                                   side="right").astype(jnp.int32)
+        tri = jnp.clip(tri, 0, n_l - 1)
+        r = gather_rows(rows, tri)
     b0, b1 = square_to_uniform_triangle(ul0, ul1)
     vec = lambda ci: Vec3(r[:, ci], r[:, ci + 1], r[:, ci + 2])
     p0, e1, e2, nrm, le = vec(0), vec(3), vec(6), vec(9), vec(12)

@@ -91,15 +91,18 @@ def main() -> None:
                      lobes=scene_lobes(scene.materials),
                      fused_shade=args.fused)
 
+    # close over the view: passing it as a jit ARG makes it traced, which
+    # disables the concrete-view fast paths (compact light tables, fused
+    # shade) and silently profiles the fallback pipeline
     @jax.jit
-    def one_pass(view, instance):
+    def one_pass(instance):
         out = render_pass(view, opts, res_x, res_y, instance)
         return out.composited.x.sum(), out.rays
 
     trace_dir = "/tmp/fermat_trace_attrib"
     shutil.rmtree(trace_dir, ignore_errors=True)
     t0 = time.time()
-    r = capture_trace(lambda: one_pass(view, jnp.uint32(3)), trace_dir,
+    r = capture_trace(lambda: one_pass(jnp.uint32(3)), trace_dir,
                       n_runs=args.runs)
     print(f"capture done in {time.time()-t0:.1f}s, rays/pass={float(r[1]):.0f}")
 

@@ -727,9 +727,11 @@ def render_pass(
                 jnp.where(front_e, mats.emissive.y, 0.0),
                 jnp.where(front_e, mats.emissive.z, 0.0),
             )
-            if view.has_textures:
+            if view.has_textures and _any_emissive_maps(view):
                 # textured emitters: modulate by the emissive map at the
-                # hit (mesh_lights.cu texture_lookup on material.emissive)
+                # hit (mesh_lights.cu texture_lookup on material.emissive);
+                # statically skipped when NO material carries one (the
+                # sample still gathers texels before selecting white)
                 from fermat_tpu.scene.textures import modulate
 
                 rgba_e = view.textures.sample(
@@ -1186,9 +1188,10 @@ def render_pass(
                 diffuse=modulate(params.diffuse, rgba_d),
                 specular=modulate(params.specular, rgba_s),
             )
-            rgba_e = view.textures.sample(mats.emissive_map, uv[:, 0],
-                                          uv[:, 1], None)
-            le = modulate(le, rgba_e)
+            if _any_emissive_maps(view):
+                rgba_e = view.textures.sample(mats.emissive_map, uv[:, 0],
+                                              uv[:, 1], None)
+                le = modulate(le, rgba_e)
         pdf_area_hit = view.lights.pdf_area_of(tri_c)
         ecoef = gather_rows(fused_tables.ecoef, mat_id)  # (N, 33)
 

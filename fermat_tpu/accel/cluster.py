@@ -164,16 +164,20 @@ def build_clusters(mesh_view, method: str = None) -> ClusterView:
     interior -1 padding where a leaf holds < 128 triangles).
     method="morton": 128-consecutive slices of the morton order (fully
     packed, looser boxes) — the round-2 behavior, kept for A/B.
+    method="sah": binned-SAH leaves + greedy DFS merge (round 4).
 
-    Default: morton (A/B on big_room 1.43M incoherent rays measured the
-    median build SLOWER through the frontier tracer — +31% clusters and
-    24% interior-padding MT waste outweigh the tighter boxes). Override
-    per-process with FERMAT_CLUSTER_METHOD for experiments.
+    Default: sah — hardware A/B (tools/tpu_sah_ab.py, round 4): -18%
+    total AABB area vs morton; big_room full pass 3.11 -> 2.96 s and
+    bathroom2 7.65 -> 7.54 s with EXACT images. (Round-3's median-split
+    lost to morton — +31% clusters and interior-padding MT waste — but
+    SAH's area objective matches the frontier tracer's visit count, and
+    the DFS merge recovers most of the packing.) Override per-process
+    with FERMAT_CLUSTER_METHOD for experiments.
     """
     import os
 
     if method is None:
-        method = os.environ.get("FERMAT_CLUSTER_METHOD", "morton")
+        method = os.environ.get("FERMAT_CLUSTER_METHOD", "sah")
     p0 = np.stack([np.asarray(mesh_view.p0.x), np.asarray(mesh_view.p0.y),
                    np.asarray(mesh_view.p0.z)], axis=1)
     e1 = np.stack([np.asarray(mesh_view.e1.x), np.asarray(mesh_view.e1.y),

@@ -192,7 +192,19 @@ def _sample_lights_compact(compact, ul0, ul1, ul2):
         # at L=544 — PERF_ATTRIB_bathroom.md)
         from fermat_tpu.ops.pallas_cdf_gather import cdf_pick_rows
 
-        r = cdf_pick_rows(rows, cdf, ul2)
+        # detach: rows/cdf are HOST-COMPACTED constants (the traced-view
+        # gate above), so the pick+fetch has zero parameter dependence —
+        # but linearization would still try to JVP through the pallas
+        # kernel (no rule) even with all-zero tangents, killing train
+        # steps that differentiate OTHER leaves (materials.diffuse). Same
+        # story as _detach_hit at the tracer boundary.
+        # sg on BOTH sides of the kernel (the _detach_hit pattern):
+        # linearization through the bounce fori_loop marks loop-carried
+        # values unknown, so ul2 must be severed on the way IN or the
+        # pallas call fails with "Linearization failed ..." even though
+        # rows/cdf are constants and RNG carries no useful tangent.
+        r = jax.lax.stop_gradient(
+            cdf_pick_rows(rows, cdf, jax.lax.stop_gradient(ul2)))
     else:
         n_l = cdf.shape[0]
         if n_l <= 2048:

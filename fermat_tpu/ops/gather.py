@@ -72,11 +72,45 @@ def _pallas_onehot_gather(table: Array, idx: Array, block: int = 1024) -> Array:
     return out[:n]
 
 
+@jax.custom_vjp
+def _pallas_onehot_gather_diff(table: Array, idx: Array) -> Array:
+    return _pallas_onehot_gather(table, idx)
+
+
+def _pog_fwd(table, idx):
+    return _pallas_onehot_gather(table, idx), (idx, table.shape[0])
+
+
+def _pog_bwd(res, g):
+    """d table = onehot(idx)^T @ g — an XLA transpose matmul.
+
+    Without this rule the TPU train path NEVER worked: pallas_call has no
+    JVP/VJP, and any jax.grad through a shade whose row tables carry
+    tangents (materials joined into shade_rows) died with "Linearization
+    failed ..." on hardware — unseen until round 4 because every gradient
+    test runs the CPU backend, which takes the XLA one-hot path.
+    The backward materializes the (N, Rp) one-hot in HBM; that is the
+    train-step price only — forward rendering never executes it."""
+    idx, r = res
+    rp = -(-r // 128) * 128
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, rp), 1)
+    oh = (idx.astype(jnp.int32)[:, None] == iota).astype(g.dtype)
+    dt = jax.lax.dot_general(
+        oh, g, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (Rp, K)
+    return dt[:r], None
+
+
+_pallas_onehot_gather_diff.defvjp(_pog_fwd, _pog_bwd)
+
+
 def gather_rows(table: Array, idx: Array) -> Array:
     """(R, K) rows by (N,) indices -> (N, K); one-hot matmul for small R."""
     r = table.shape[0]
     if r <= ONE_HOT_MAX_ROWS:
         if jax.default_backend() in ("tpu", "axon") and r <= 4096:
-            return _pallas_onehot_gather(table, idx)
+            return _pallas_onehot_gather_diff(table, idx)
         return one_hot_matmul_gather(table, idx)
     return table[idx]

@@ -433,9 +433,6 @@ def direct_env_image(view: SceneView, res_x: int, res_y: int,
     closest, _ = _pick_tracers(view, PTOptions())
     seq = TiledSequence.create(seed).set_instance(instance)
     pix = jnp.arange(n, dtype=jnp.uint32)
-    light_compact = (None if opts.nee != "mesh"
-                     else _light_compact_tables(view))
-
     jx, jy = seq.sample_2d(pix, jnp.uint32(0))
     o, d, _ = generate_camera_rays(view.camera, res_x, res_y, jx, jy, pix)
     hit = closest(o, d, jnp.float32(1e-4), jnp.float32(3.0e38),

@@ -48,7 +48,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fermat_tpu.bsdf.composite import (
-    GLOSSY_REFL,
     BsdfParams,
     f_split,
     sample as bsdf_sample,

@@ -404,6 +404,39 @@ class _PassOutput(NamedTuple):
     rays_lane: Optional[Array] = None
 
 
+class Carry(NamedTuple):
+    """Per-lane wavefront state threaded through the bounce loop.
+
+    Module-level (not a render_pass local) so instances can cross jit
+    boundaries with a stable pytree type: the narrowing driver
+    (render_pass_narrow) passes carries between separately-jitted bounce
+    segments, and a per-call class would bust every jit cache."""
+
+    o: Vec3
+    d: Vec3
+    thr: Vec3  # path throughput (includes 1/pdf)
+    alive: Array
+    prev_pdf: Array  # solid-angle pdf of the ray's BSDF sample
+    channel: Array  # routing decided at first scatter
+    l_direct: Vec3
+    l_diffuse: Vec3
+    l_specular: Vec3
+    # gbuffer capture (first hit)
+    g_depth: Array
+    g_tri: Array
+    g_normal: Vec3
+    g_pos: Vec3
+    g_uv: Array
+    g_mat: Array
+    g_diff_albedo: Vec3
+    g_spec_albedo: Vec3
+    rays: Array  # scalar f32 — total traced rays (closest + shadow)
+    rays_lane: Array  # (N,) f32 — per-lane traced-ray counter
+    cone_width: Array  # ray-cone footprint radius (texture LOD)
+    pix_u: Array  # pixel id per lane (moves with the lane when queued)
+    lane0: Array  # original lane index (to unpermute queued output)
+
+
 def _offset_origin(pos: Vec3, gn: Vec3, d: Vec3, eps: float) -> Vec3:
     """Offset along the geometric normal on the side the ray departs."""
     side = jnp.where(dot(gn, d) >= 0.0, 1.0, -1.0)
@@ -456,6 +489,9 @@ def render_pass(
     seed: int = 0,
     pix: Array = None,
     sequence=None,
+    _carry_in: "Carry" = None,
+    _b: Array = None,
+    _raw: bool = False,
 ) -> _PassOutput:
     """Trace one progressive pass (PathTracer::render, pathtracer_impl.h:197).
 
@@ -464,6 +500,11 @@ def render_pass(
     overrides the sampler — the MCMC integrators drive the same path-tracing
     machinery from mutated primary-sample vectors (the reference's
     TPrimaryCoordinates policy, bpt_samplers.h:43-121).
+
+    Private segment hooks (render_pass_narrow): `_carry_in` + `_b` run ONE
+    loop bounce (first=False) on an existing carry of any width and return
+    the raw Carry; `_raw` alone runs the peeled bounce 0 and returns its
+    raw Carry instead of assembling a _PassOutput.
     """
     if opts.tracer == "mega":
         # whole-pass fused Pallas megakernel (VMEM-resident scene); the
@@ -521,8 +562,9 @@ def render_pass(
     light_compact = (None if opts.nee != "mesh"
                      else _light_compact_tables(view))
 
-    jx, jy = seq.sample_2d(pix, jnp.uint32(0))
-    o, d, _ = generate_camera_rays(view.camera, res_x, res_y, jx, jy, pix)
+    if _carry_in is None:
+        jx, jy = seq.sample_2d(pix, jnp.uint32(0))
+        o, d, _ = generate_camera_rays(view.camera, res_x, res_y, jx, jy, pix)
 
     zero3 = Vec3.zeros((n,))
     eps = opts.ray_eps
@@ -532,32 +574,7 @@ def render_pass(
     # (XLA keeps it inside fori_loops otherwise; see MeshView.shade_fetch)
     shade_tab = view.mesh.shade_rows()
 
-    class Carry(NamedTuple):
-        o: Vec3
-        d: Vec3
-        thr: Vec3  # path throughput (includes 1/pdf)
-        alive: Array
-        prev_pdf: Array  # solid-angle pdf of the ray's BSDF sample
-        channel: Array  # routing decided at first scatter
-        l_direct: Vec3
-        l_diffuse: Vec3
-        l_specular: Vec3
-        # gbuffer capture (first hit)
-        g_depth: Array
-        g_tri: Array
-        g_normal: Vec3
-        g_pos: Vec3
-        g_uv: Array
-        g_mat: Array
-        g_diff_albedo: Vec3
-        g_spec_albedo: Vec3
-        rays: Array  # scalar f32 — total traced rays (closest + shadow)
-        rays_lane: Array  # (N,) f32 — per-lane traced-ray counter
-        cone_width: Array  # ray-cone footprint radius (texture LOD)
-        pix_u: Array  # pixel id per lane (moves with the lane when queued)
-        lane0: Array  # original lane index (to unpermute queued output)
-
-    carry = Carry(
+    carry = None if _carry_in is not None else Carry(
         o=o,
         d=d,
         thr=Vec3.full((n,), 1.0, 1.0, 1.0),
@@ -603,6 +620,10 @@ def render_pass(
         # bounce bodies instead of max_path_length.
         # NEE shadow rays pick the per-strategy masked-geometry tracer
         # (direct at the peeled bounce, indirect in the loop)
+        # width from the carry, NOT the closure `n`: the narrowing driver
+        # (render_pass_narrow) re-enters this body on live-compacted
+        # buffers smaller than the pixel grid
+        n = c.alive.shape[0]
         sh_anyhit = anyhit_direct if first else anyhit_indirect
         hit = closest(c.o, c.d, jnp.float32(eps), jnp.float32(3.0e38), c.alive)
         c = c._replace(rays=c.rays + jnp.sum(c.alive.astype(jnp.float32)),
@@ -1325,8 +1346,16 @@ def render_pass(
 
         return jax.tree_util.tree_map(put, c)
 
+    if _carry_in is not None:
+        # narrowing-driver segment: ONE loop bounce on a (possibly
+        # live-compacted, narrower) carry; `_b` is traced so one compiled
+        # program per width serves every bounce index
+        return bounce(_b, _carry_in, False)
+
     # bounce 0 peeled (static routing); bounces 1..max in a fori_loop
     carry = bounce(0, carry, True)
+    if _raw:
+        return carry
     if opts.max_path_length > 1:
         if fused_tables is not None:
             body = lambda b, c: bounce_fused(b, c)
@@ -1365,3 +1394,207 @@ def render_pass(
         rays=carry.rays,
         rays_lane=carry.rays_lane,
     )
+
+
+class _Accum(NamedTuple):
+    """Full-width per-pixel accumulators the narrowing driver folds
+    finished lanes into (indexed by the carried lane0)."""
+
+    direct: Vec3
+    diffuse: Vec3
+    specular: Vec3
+    rays_lane: Array
+
+
+class NarrowPass:
+    """Host-driven narrowing-wavefront progressive pass.
+
+    The reference's wavefront engine compacts surviving rays into dense
+    queues each bounce and launches the next kernel over just the queue
+    (path_trace_loop, pathtracer_kernels.h:310-391, with the 4-byte
+    queue-size readback at :329). The monolithic `render_pass` instead
+    runs every bounce at full pixel-grid width with masked lanes — ideal
+    when occupancy stays high, wasteful when most paths die early (a
+    bathroom2-class pass keeps <35% of lanes after bounce 0 yet pays
+    full-width trace+shade for bounces 1..5).
+
+    This driver is the TPU version of the reference's shrinking queues:
+
+      * bounce 0 runs at full width (render_pass `_raw` hook),
+      * between bounces the live count is read back (the same 4-byte
+        host<->device boundary the reference pays) and live lanes are
+        compacted into the smallest power-of-2 width bucket that holds
+        them,
+      * each later bounce runs as a separately-jitted one-bounce segment
+        (render_pass `_carry_in`/`_b` hooks) at the narrow width — one
+        compiled program per width bucket serves every bounce index,
+      * finished lanes' radiance folds into full-width accumulators via
+        the carried lane0, so the estimator is the same sum re-associated
+        (allclose to render_pass; permutation-invariant QMC keys off the
+        carried pixel id).
+
+    Not jittable end-to-end (by design: the width choice is data
+    dependent). Use for eager progressive loops — bench tools, the CLI
+    driver. `render_pass` remains the jittable path.
+    """
+
+    def __init__(self, view: SceneView, opts: PTOptions, res_x: int,
+                 res_y: int, seed: int = 0, min_width: int = 1 << 13):
+        assert opts.tracer != "mega", "mega kernel has its own pass driver"
+        assert not opts.queue_compaction, (
+            "narrowing replaces in-loop queue compaction")
+        self.view = view
+        self.opts = opts
+        self.res_x = res_x
+        self.res_y = res_y
+        self.seed = seed
+        self.n = res_x * res_y
+        self.min_width = min(min_width, self.n)
+        # NO buffer donation anywhere: donating the carry/accumulators
+        # raises async INVALID_ARGUMENT on the tunneled axon TPU backend
+        # at bathroom2 scale (1.43M-lane carries; cornell-size donates
+        # fine — measured 2026-08, tools note in STATUS.md). The aliasing
+        # would only save HBM copies of pass-through fields; correctness
+        # on the real backend wins.
+        self._donate_carry: dict = {}
+        self._donate_acc: dict = {}
+
+        self._seg0 = jax.jit(lambda inst: render_pass(
+            view, opts, res_x, res_y, inst, seed, _raw=True))
+        self._seg = {}      # width -> jitted one-bounce segment
+        self._shrink = {}   # (W, Wp) -> jitted fold+compact
+        self._finish = {}   # width -> jitted final fold
+
+    # -- program builders (cached per static width) --
+
+    def _fold(self, c: Carry, acc: _Accum) -> Tuple[Carry, _Accum]:
+        """Scatter-add every lane's radiance into the full-width
+        accumulators and zero the lane copies (lane0 is unique among
+        real lanes; compaction fill-lanes carry zeros)."""
+        lane = c.lane0
+
+        def addv(dst: Vec3, src: Vec3) -> Vec3:
+            return Vec3(dst.x.at[lane].add(src.x),
+                        dst.y.at[lane].add(src.y),
+                        dst.z.at[lane].add(src.z))
+
+        acc = _Accum(
+            direct=addv(acc.direct, c.l_direct),
+            diffuse=addv(acc.diffuse, c.l_diffuse),
+            specular=addv(acc.specular, c.l_specular),
+            rays_lane=acc.rays_lane.at[lane].add(c.rays_lane),
+        )
+        w = c.alive.shape[0]
+        z3 = Vec3.zeros((w,))
+        c = c._replace(l_direct=z3, l_diffuse=z3, l_specular=z3,
+                       rays_lane=jnp.zeros(w, jnp.float32))
+        return c, acc
+
+    def _get_shrink(self, w: int, wp: int):
+        key = (w, wp)
+        if key not in self._shrink:
+            def shrink(c: Carry, acc: _Accum):
+                c, acc = self._fold(c, acc)
+                cnt = jnp.sum(c.alive.astype(jnp.int32))
+                idx = jnp.nonzero(c.alive, size=wp, fill_value=0)[0]
+
+                def take(a):
+                    if not hasattr(a, "ndim") or a.ndim == 0 \
+                            or a.shape[0] != w:
+                        return a  # scalar counters
+                    return a[idx]
+
+                c2 = jax.tree_util.tree_map(take, c)
+                # fill lanes duplicate index 0: dead, zero accumulators
+                valid = jnp.arange(wp, dtype=jnp.int32) < cnt
+                return c2._replace(alive=c2.alive & valid), acc
+
+            self._shrink[key] = jax.jit(shrink, **self._donate_acc)
+        return self._shrink[key]
+
+    def _get_seg(self, w: int):
+        if w not in self._seg:
+            v, o, rx, ry, s = (self.view, self.opts, self.res_x,
+                               self.res_y, self.seed)
+            fn = lambda c, b, inst: render_pass(
+                v, o, rx, ry, inst, s, _carry_in=c, _b=b)
+            self._seg[w] = jax.jit(fn, **self._donate_carry)
+        return self._seg[w]
+
+    def _get_finish(self, w: int):
+        if w not in self._finish:
+            self._finish[w] = jax.jit(
+                lambda c, acc: self._fold(c, acc)[1], **self._donate_acc)
+        return self._finish[w]
+
+    def _bucket(self, live: int) -> int:
+        # power-of-2 widths: always a Pallas-block multiple once >= the
+        # floor, and the program count stays logarithmic
+        wp = self.min_width
+        while wp < live:
+            wp *= 2
+        return min(wp, self.n)
+
+    def __call__(self, instance) -> _PassOutput:
+        carry = self._seg0(jnp.asarray(instance, jnp.uint32))
+        # gbuffer/albedos are final after bounce 0 (lane order == pixel
+        # order here: no compaction has happened yet)
+        g = (carry.g_diff_albedo, carry.g_spec_albedo, carry.g_depth,
+             carry.g_tri, carry.g_normal, carry.g_pos, carry.g_uv,
+             carry.g_mat)
+        zero3 = Vec3.zeros((self.n,))
+        acc = _Accum(direct=zero3, diffuse=zero3, specular=zero3,
+                     rays_lane=jnp.zeros(self.n, jnp.float32))
+        w = self.n
+        rays = None
+        self.last_profile = []  # (bounce, live, width) — attribution aid
+        for b in range(1, self.opts.max_path_length):
+            live = int(jax.device_get(jnp.sum(carry.alive, dtype=jnp.int32)))
+            if live == 0:
+                break
+            wp = self._bucket(live)
+            if wp < w:
+                carry, acc = self._get_shrink(w, wp)(carry, acc)
+                w = wp
+            self.last_profile.append((b, live, w))
+            carry = self._get_seg(w)(
+                carry, jnp.asarray(b, jnp.uint32),
+                jnp.asarray(instance, jnp.uint32))
+        rays = carry.rays
+        acc = self._get_finish(w)(carry, acc)
+        comp = Vec3(
+            acc.direct.x + acc.diffuse.x + acc.specular.x,
+            acc.direct.y + acc.diffuse.y + acc.specular.y,
+            acc.direct.z + acc.diffuse.z + acc.specular.z,
+        )
+        return _PassOutput(
+            direct=acc.direct,
+            diffuse=acc.diffuse,
+            specular=acc.specular,
+            composited=comp,
+            diffuse_albedo=g[0],
+            specular_albedo=g[1],
+            depth=g[2],
+            tri=g[3],
+            normal=g[4],
+            position=g[5],
+            uv=g[6],
+            material=g[7],
+            rays=rays,
+            rays_lane=acc.rays_lane,
+        )
+
+
+def render_pass_narrow(view, opts, res_x, res_y, instance, seed=0,
+                       min_width: int = 1 << 13) -> _PassOutput:
+    """One-shot convenience over NarrowPass (builds + caches the driver
+    per (view identity, opts, resolution, seed))."""
+    key = (id(view), opts, res_x, res_y, seed, min_width)
+    drv = _NARROW_CACHE.get(key)
+    if drv is None or drv.view is not view:
+        drv = NarrowPass(view, opts, res_x, res_y, seed, min_width)
+        _NARROW_CACHE[key] = drv
+    return drv(instance)
+
+
+_NARROW_CACHE: dict = {}

@@ -167,6 +167,41 @@ class TestQueueCompaction:
         assert float(out_m.rays) == float(out_q.rays)
 
 
+class TestNarrowingDriver:
+    def test_narrow_matches_monolithic(self):
+        """The narrowing-wavefront driver (render_pass_narrow) is the
+        reference's shrinking queue model (path_trace_loop,
+        pathtracer_kernels.h:310-391): live lanes compact into power-of-2
+        width buckets between separately-jitted bounce segments. The
+        estimator is the same sum re-associated — every radiance AOV must
+        allclose the jitted monolithic pass; ray counts and discrete
+        gbuffer fields must match exactly."""
+        from fermat_tpu.integrators.pt import (
+            PTOptions, render_pass, render_pass_narrow)
+        from fermat_tpu.scene.view import SceneView
+
+        view = SceneView.build(cornell_box(), cornell_camera())
+        opts = PTOptions(max_path_length=5, rr=True)
+        ref = jax.jit(lambda i: render_pass(view, opts, RES, RES, i))(
+            jnp.uint32(3))
+        # min_width far below the grid so several buckets actually engage
+        out = render_pass_narrow(view, opts, RES, RES, jnp.uint32(3),
+                                 min_width=64)
+        for field in ("direct", "diffuse", "specular", "composited"):
+            a = np.stack([np.asarray(v) for v in getattr(ref, field)], -1)
+            b = np.stack([np.asarray(v) for v in getattr(out, field)], -1)
+            np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ref.tri),
+                                      np.asarray(out.tri))
+        np.testing.assert_array_equal(np.asarray(ref.material),
+                                      np.asarray(out.material))
+        np.testing.assert_allclose(np.asarray(ref.depth),
+                                   np.asarray(out.depth), rtol=1e-5)
+        assert float(ref.rays) == float(out.rays)
+        np.testing.assert_array_equal(np.asarray(ref.rays_lane),
+                                      np.asarray(out.rays_lane))
+
+
 def test_compact_light_sampling_bit_parity():
     """Compact emissive-only light tables (round 4: the full-length CDF
     searchsorted was 2.15 s/pass at bathroom scale) must be BIT-equal to

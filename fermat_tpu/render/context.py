@@ -312,12 +312,21 @@ class RenderingContext:
             raise KeyError(
                 f"unknown renderer '{self.renderer}'; registered: {sorted(_RENDERER_REGISTRY)}"
             )
-        pass_fn, opts = _RENDERER_REGISTRY[self.renderer](**self.renderer_options)
+        options = dict(self.renderer_options)
+        # narrowing-wavefront progressive driver (pt only): live lanes
+        # compact into width buckets between jitted one-bounce segments
+        # (CLI: -pt ... -narrow 1). render() only — render_batch keeps the
+        # fully in-graph monolithic loop (narrowing needs a host readback).
+        narrow = bool(options.pop("narrow", False)) and self.renderer == "pt"
+        pass_fn, opts = _RENDERER_REGISTRY[self.renderer](**options)
         res_x, res_y, seed = self.res_x, self.res_y, self.seed
         stateful = getattr(pass_fn, "stateful", False)
 
-        def one_pass(view: SceneView, fb: Framebuffer, instance, state=None):
-            if stateful:
+        def one_pass(view: SceneView, fb: Framebuffer, instance, state=None,
+                     _precomputed=None):
+            if _precomputed is not None:
+                out = _precomputed  # narrowing driver already ran the pass
+            elif stateful:
                 out, state = pass_fn(view, opts, res_x, res_y, instance, seed, state)
             else:
                 out = pass_fn(view, opts, res_x, res_y, instance, seed)
@@ -350,7 +359,19 @@ class RenderingContext:
         self._stateful = stateful
         if stateful and self.renderer_state is None:
             self.renderer_state = pass_fn.init(self.view, res_x, res_y, seed)
-        self._pass_fn = jax.jit(one_pass)
+        if narrow:
+            drv = pt_mod.NarrowPass(self.view, opts, res_x, res_y, seed)
+            # the accumulate/gbuffer tail is its own jitted program; the
+            # segments inside NarrowPass are jitted individually
+            post = jax.jit(lambda fb, out, instance: one_pass(
+                None, fb, instance, _precomputed=out))
+
+            def narrow_pass(view, fb, instance):
+                return post(fb, drv(instance), instance)
+
+            self._pass_fn = narrow_pass
+        else:
+            self._pass_fn = jax.jit(one_pass)
 
     def render(self, n_passes: int = 1, progress: bool = False) -> Framebuffer:
         """Progressive render driver (main.cu:169 / renderer.cu:1029)."""

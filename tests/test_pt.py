@@ -201,6 +201,15 @@ class TestNarrowingDriver:
         np.testing.assert_array_equal(np.asarray(ref.rays_lane),
                                       np.asarray(out.rays_lane))
 
+    def test_context_narrow_option(self):
+        """RenderingContext(-narrow 1) routes through the narrowing
+        driver and produces the same progressive image."""
+        a = _ctx(max_path_length=4).render(2)
+        b = _ctx(max_path_length=4, narrow=True).render(2)
+        np.testing.assert_allclose(np.asarray(a.composited),
+                                   np.asarray(b.composited),
+                                   atol=2e-5, rtol=1e-5)
+
 
 def test_compact_light_sampling_bit_parity():
     """Compact emissive-only light tables (round 4: the full-length CDF

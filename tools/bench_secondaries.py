@@ -43,9 +43,27 @@ def run_one(scene: str, tracer: str) -> dict:
 
     opts = PTOptions(max_path_length=6, lobes=scene_lobes(mesh.materials),
                      tracer=tracer)
-    # JIT the whole pass: eager render_pass pays per-op dispatch through
-    # the axon tunnel (measured 2-3x inflation at 1600x896; the round-3
-    # secondary numbers carried this tax)
+    # primary: the narrowing-wavefront driver (round 4) — live lanes
+    # compact into power-of-2 width buckets between jitted one-bounce
+    # segments; image verified bit-identical to the monolithic pass on
+    # hardware (bathroom 8.03 -> 4.25 s/pass)
+    try:
+        from fermat_tpu.integrators.pt import NarrowPass
+
+        drv = NarrowPass(view, opts, 1600, 896)
+        out = drv(0)
+        jax.block_until_ready(out.composited.x)
+        t0 = time.perf_counter()
+        out = drv(1)
+        jax.block_until_ready(out.composited.x)
+        dt = time.perf_counter() - t0
+        return {"mrays": float(out.rays) / dt / 1e6, "spp_s": 1.0 / dt,
+                "tracer": tracer, "path": "narrow"}
+    except Exception as e:  # noqa: BLE001 — monolithic fallback below
+        print(f"narrow driver failed ({e}); monolithic fallback",
+              file=sys.stderr, flush=True)
+    # fallback: ONE jitted whole-pass program (eager render_pass pays
+    # per-op dispatch through the axon tunnel — measured 2-3x inflation)
     fn = jax.jit(lambda inst: render_pass(view, opts, 1600, 896, inst))
     out = fn(jnp.uint32(0))
     jax.block_until_ready(out.composited.x)
@@ -54,7 +72,7 @@ def run_one(scene: str, tracer: str) -> dict:
     jax.block_until_ready(out.composited.x)
     dt = time.perf_counter() - t0
     return {"mrays": float(out.rays) / dt / 1e6, "spp_s": 1.0 / dt,
-            "tracer": tracer}
+            "tracer": tracer, "path": "mono"}
 
 
 def attempt(scene: str, budget_s: float) -> dict | None:
@@ -98,6 +116,7 @@ def main() -> None:
     if big is not None:
         out["bigroom_100k_1600x896_mrays"] = round(big["mrays"], 3)
         out["bigroom_tracer"] = big["tracer"]
+        out["bigroom_path"] = big.get("path", "mono")
         print(json.dumps(out), flush=True)
     remaining = deadline - time.time()
     if remaining > 120.0:
@@ -106,6 +125,7 @@ def main() -> None:
             out["bathroom2_standin_1600x896_spp_s"] = round(bath["spp_s"], 4)
             out["bathroom2_standin_mrays"] = round(bath["mrays"], 3)
             out["bathroom2_tracer"] = bath["tracer"]
+            out["bathroom2_path"] = bath.get("path", "mono")
     print(json.dumps(out), flush=True)
 
 

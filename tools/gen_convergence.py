@@ -69,6 +69,8 @@ def main() -> int:
     ap.add_argument("--spp", type=int, default=256)
     ap.add_argument("--scene", default="bathroom")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--narrow", action="store_true",
+                    help="use the narrowing-wavefront driver (NarrowPass)")
     args = ap.parse_args()
     res_x, res_y = (int(v) for v in args.res.split("x"))
 
@@ -76,10 +78,17 @@ def main() -> int:
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     view, opts = build(args.scene, res_x, res_y)
 
-    from fermat_tpu.integrators.pt import render_pass
+    if args.narrow:
+        from fermat_tpu.integrators.pt import NarrowPass
 
-    fn = jax.jit(lambda inst: render_pass(
-        view, opts, res_x, res_y, inst).composited.stack())
+        drv = NarrowPass(view, opts, res_x, res_y)
+        stack = jax.jit(lambda o: o.composited.stack())
+        fn = lambda inst: stack(drv(inst))
+    else:
+        from fermat_tpu.integrators.pt import render_pass
+
+        fn = jax.jit(lambda inst: render_pass(
+            view, opts, res_x, res_y, inst).composited.stack())
 
     acc = np.zeros((res_x * res_y, 3), np.float64)
     checkpoints = {}

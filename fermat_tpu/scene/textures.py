@@ -267,5 +267,26 @@ class TextureAtlas(NamedTuple):
         return jnp.where((tex < 0)[:, None], white, rgba)
 
 
+_ORIG_ATLAS_REPLACE = TextureAtlas._replace
+
+
+def _atlas_replace(self, **kw):
+    """NamedTuple._replace override (attached post-class: typing forbids
+    in-body overrides). Replacing `texels` drops the RGBA8 mirror
+    (packed/packed_r) unless new ones are passed too: the mirror is a
+    QUANTIZED COPY of the texels built at atlas time, and a stale mirror
+    silently wins over updated texels in every fetch — zeroing texture
+    gradients and ignoring texel optimization steps (the differentiable-
+    texture train path does exactly this replace). Sampling falls back to
+    the float row-gather path when the mirror is absent."""
+    if "texels" in kw and "packed" not in kw:
+        kw.setdefault("packed", None)
+        kw.setdefault("packed_r", None)
+    return _ORIG_ATLAS_REPLACE(self, **kw)
+
+
+TextureAtlas._replace = _atlas_replace
+
+
 def modulate(color: Vec3, rgba: Array) -> Vec3:
     return Vec3(color.x * rgba[:, 0], color.y * rgba[:, 1], color.z * rgba[:, 2])

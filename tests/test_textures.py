@@ -113,3 +113,30 @@ def test_bilinear0_fast_path_matches_generic():
     generic = np.asarray(
         at._replace(packed=None, packed_r=None).sample_bilinear0(tex, u, v))
     np.testing.assert_allclose(fast, generic, rtol=2e-6, atol=2e-6)
+
+
+def test_replace_texels_drops_packed_mirror():
+    """_replace(texels=...) must invalidate the RGBA8 mirror: a stale
+    mirror silently wins over updated texels in every fetch, zeroing
+    texture gradients (caught as 3 zero-gradient test failures, round 4).
+    Passing new packed taps explicitly keeps them."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fermat_tpu.scene.textures import TextureAtlas
+
+    img = (np.arange(64 * 4).reshape(4, 4, 16)[:, :, :4] % 256 / 255.0
+           ).astype(np.float32)
+    at = TextureAtlas.build([img])
+    assert at.packed is not None
+    up = at._replace(texels=at.texels * 0.5)
+    assert up.packed is None and up.packed_r is None
+    # the update is actually visible to sampling
+    tex = jnp.zeros(4, jnp.int32)
+    u = v = jnp.asarray([0.1, 0.4, 0.6, 0.9], jnp.float32)
+    a = np.asarray(at.sample_bilinear0(tex, u, v))
+    b = np.asarray(up.sample_bilinear0(tex, u, v))
+    np.testing.assert_allclose(b[:, :3], 0.5 * a[:, :3], rtol=1e-6, atol=1e-6)
+    # explicit packed taps are kept
+    keep = at._replace(texels=at.texels, packed=at.packed,
+                       packed_r=at.packed_r)
+    assert keep.packed is not None

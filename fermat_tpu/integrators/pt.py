@@ -1439,7 +1439,8 @@ class NarrowPass:
     """
 
     def __init__(self, view: SceneView, opts: PTOptions, res_x: int,
-                 res_y: int, seed: int = 0, min_width: int = 1 << 13):
+                 res_y: int, seed: int = 0, min_width: int = 1 << 13,
+                 fuse: bool = True):
         assert opts.tracer != "mega", "mega kernel has its own pass driver"
         assert not opts.queue_compaction, (
             "narrowing replaces in-loop queue compaction")
@@ -1464,6 +1465,10 @@ class NarrowPass:
         self._seg = {}      # width -> jitted one-bounce segment
         self._shrink = {}   # (W, Wp) -> jitted fold+compact
         self._finish = {}   # width -> jitted final fold
+        self._fused = {}    # schedule tuple -> jitted whole pass
+        self._schedule = None
+        self.fuse = fuse
+        self.overflows = 0  # fused-schedule misses (observability)
 
     # -- program builders (cached per static width) --
 
@@ -1490,26 +1495,33 @@ class NarrowPass:
                        rays_lane=jnp.zeros(w, jnp.float32))
         return c, acc
 
+    def _shrink_body(self, c: Carry, acc: _Accum, wp: int):
+        """Fold radiance out, then compact live lanes into a wp-wide
+        carry. Returns (carry', acc', kept): kept is False iff live lanes
+        were DROPPED (live > wp) — only possible under a speculative
+        fused schedule, where the caller discards the pass and falls
+        back to the exact dynamic loop."""
+        w = c.alive.shape[0]
+        c, acc = self._fold(c, acc)
+        cnt = jnp.sum(c.alive.astype(jnp.int32))
+        idx = jnp.nonzero(c.alive, size=wp, fill_value=0)[0]
+
+        def take(a):
+            if not hasattr(a, "ndim") or a.ndim == 0 or a.shape[0] != w:
+                return a  # scalar counters
+            return a[idx]
+
+        c2 = jax.tree_util.tree_map(take, c)
+        # fill lanes duplicate index 0: dead, zero accumulators
+        valid = jnp.arange(wp, dtype=jnp.int32) < cnt
+        return c2._replace(alive=c2.alive & valid), acc, cnt <= wp
+
     def _get_shrink(self, w: int, wp: int):
         key = (w, wp)
         if key not in self._shrink:
-            def shrink(c: Carry, acc: _Accum):
-                c, acc = self._fold(c, acc)
-                cnt = jnp.sum(c.alive.astype(jnp.int32))
-                idx = jnp.nonzero(c.alive, size=wp, fill_value=0)[0]
-
-                def take(a):
-                    if not hasattr(a, "ndim") or a.ndim == 0 \
-                            or a.shape[0] != w:
-                        return a  # scalar counters
-                    return a[idx]
-
-                c2 = jax.tree_util.tree_map(take, c)
-                # fill lanes duplicate index 0: dead, zero accumulators
-                valid = jnp.arange(wp, dtype=jnp.int32) < cnt
-                return c2._replace(alive=c2.alive & valid), acc
-
-            self._shrink[key] = jax.jit(shrink, **self._donate_acc)
+            self._shrink[key] = jax.jit(
+                lambda c, acc: self._shrink_body(c, acc, wp)[:2],
+                **self._donate_acc)
         return self._shrink[key]
 
     def _get_seg(self, w: int):
@@ -1535,33 +1547,16 @@ class NarrowPass:
             wp *= 2
         return min(wp, self.n)
 
-    def __call__(self, instance) -> _PassOutput:
-        carry = self._seg0(jnp.asarray(instance, jnp.uint32))
+    @staticmethod
+    def _grab_g(carry: Carry):
         # gbuffer/albedos are final after bounce 0 (lane order == pixel
-        # order here: no compaction has happened yet)
-        g = (carry.g_diff_albedo, carry.g_spec_albedo, carry.g_depth,
-             carry.g_tri, carry.g_normal, carry.g_pos, carry.g_uv,
-             carry.g_mat)
-        zero3 = Vec3.zeros((self.n,))
-        acc = _Accum(direct=zero3, diffuse=zero3, specular=zero3,
-                     rays_lane=jnp.zeros(self.n, jnp.float32))
-        w = self.n
-        rays = None
-        self.last_profile = []  # (bounce, live, width) — attribution aid
-        for b in range(1, self.opts.max_path_length):
-            live = int(jax.device_get(jnp.sum(carry.alive, dtype=jnp.int32)))
-            if live == 0:
-                break
-            wp = self._bucket(live)
-            if wp < w:
-                carry, acc = self._get_shrink(w, wp)(carry, acc)
-                w = wp
-            self.last_profile.append((b, live, w))
-            carry = self._get_seg(w)(
-                carry, jnp.asarray(b, jnp.uint32),
-                jnp.asarray(instance, jnp.uint32))
-        rays = carry.rays
-        acc = self._get_finish(w)(carry, acc)
+        # order there: no compaction has happened yet)
+        return (carry.g_diff_albedo, carry.g_spec_albedo, carry.g_depth,
+                carry.g_tri, carry.g_normal, carry.g_pos, carry.g_uv,
+                carry.g_mat)
+
+    @staticmethod
+    def _assemble(acc: _Accum, g, rays) -> _PassOutput:
         comp = Vec3(
             acc.direct.x + acc.diffuse.x + acc.specular.x,
             acc.direct.y + acc.diffuse.y + acc.specular.y,
@@ -1583,6 +1578,106 @@ class NarrowPass:
             rays=rays,
             rays_lane=acc.rays_lane,
         )
+
+    def _zero_acc(self) -> _Accum:
+        zero3 = Vec3.zeros((self.n,))
+        return _Accum(direct=zero3, diffuse=zero3, specular=zero3,
+                      rays_lane=jnp.zeros(self.n, jnp.float32))
+
+    def _dynamic(self, instance) -> _PassOutput:
+        """Exact per-bounce loop: read the live count back, pick the
+        bucket, run the next jitted segment at that width."""
+        carry = self._seg0(jnp.asarray(instance, jnp.uint32))
+        g = self._grab_g(carry)
+        acc = self._zero_acc()
+        w = self.n
+        self.last_profile = []  # (bounce, live, width) — attribution aid
+        for b in range(1, self.opts.max_path_length):
+            live = int(jax.device_get(jnp.sum(carry.alive, dtype=jnp.int32)))
+            if live == 0:
+                break
+            wp = self._bucket(live)
+            if wp < w:
+                carry, acc = self._get_shrink(w, wp)(carry, acc)
+                w = wp
+            self.last_profile.append((b, live, w))
+            carry = self._get_seg(w)(
+                carry, jnp.asarray(b, jnp.uint32),
+                jnp.asarray(instance, jnp.uint32))
+        rays = carry.rays
+        acc = self._get_finish(w)(carry, acc)
+        return self._assemble(acc, g, rays)
+
+    # -- speculative fused schedule: the whole pass as ONE program --
+
+    def _schedule_from_profile(self) -> tuple:
+        """Width per bounce from the last dynamic profile, with one
+        bucket of headroom when the observed live count sits in the top
+        1/8 of its bucket (live varies ~±1% across instances; b3 on
+        bathroom2 was measured at 98.7% bucket occupancy). Bounces the
+        profile never reached (early exit) run at the floor width."""
+        widths = {}
+        for b, live, w in getattr(self, "last_profile", []):
+            if live > (w // 8) * 7 and w < self.n:
+                w = min(w * 2, self.n)
+            widths[b] = w
+        sched, prev = [], self.n
+        for b in range(1, self.opts.max_path_length):
+            w = min(widths.get(b, self.min_width), prev)
+            sched.append(w)
+            prev = w
+        return tuple(sched)
+
+    def _get_fused(self, schedule: tuple):
+        if schedule not in self._fused:
+            v, o, rx, ry, s = (self.view, self.opts, self.res_x,
+                               self.res_y, self.seed)
+
+            def fused(inst):
+                carry = render_pass(v, o, rx, ry, inst, s, _raw=True)
+                g = self._grab_g(carry)
+                acc = self._zero_acc()
+                ok = jnp.asarray(True)
+                w = self.n
+                for b, wp in zip(range(1, o.max_path_length), schedule):
+                    if wp < w:
+                        carry, acc, kept = self._shrink_body(carry, acc, wp)
+                        ok = ok & kept
+                        w = wp
+                    carry = render_pass(v, o, rx, ry, inst, s,
+                                        _carry_in=carry,
+                                        _b=jnp.asarray(b, jnp.uint32))
+                rays = carry.rays
+                acc = self._fold(carry, acc)[1]
+                return self._assemble(acc, g, rays), ok
+
+            self._fused[schedule] = jax.jit(fused)
+        return self._fused[schedule]
+
+    def __call__(self, instance) -> _PassOutput:
+        """Run one pass. fuse=True (default): after one profiling pass,
+        the whole pass runs as ONE jitted program with the width schedule
+        baked in (zero readbacks, zero per-segment dispatches); each
+        shrink verifies in-graph that no live lane was dropped, and an
+        overflow (live grew past the speculated bucket) discards that
+        run and falls back to the exact dynamic loop, which also
+        refreshes the schedule. Exactness is unconditional — the fused
+        path either reproduces the dynamic result bit-for-bit or is
+        thrown away."""
+        if not self.fuse:
+            return self._dynamic(instance)
+        if self._schedule is None:
+            out = self._dynamic(instance)  # profiling pass
+            self._schedule = self._schedule_from_profile()
+            return out
+        out, ok = self._get_fused(self._schedule)(
+            jnp.asarray(instance, jnp.uint32))
+        if bool(jax.device_get(ok)):
+            return out
+        self.overflows += 1
+        out = self._dynamic(instance)
+        self._schedule = self._schedule_from_profile()
+        return out
 
 
 def render_pass_narrow(view, opts, res_x, res_y, instance, seed=0,

@@ -51,10 +51,12 @@ def run_one(scene: str, tracer: str) -> dict:
         from fermat_tpu.integrators.pt import NarrowPass
 
         drv = NarrowPass(view, opts, 1600, 896)
-        out = drv(0)
+        out = drv(0)  # profiling pass (dynamic, compiles the segments)
+        jax.block_until_ready(out.composited.x)
+        out = drv(1)  # first fused-schedule pass (compiles the program)
         jax.block_until_ready(out.composited.x)
         t0 = time.perf_counter()
-        out = drv(1)
+        out = drv(2)
         jax.block_until_ready(out.composited.x)
         dt = time.perf_counter() - t0
         return {"mrays": float(out.rays) / dt / 1e6, "spp_s": 1.0 / dt,

@@ -315,8 +315,8 @@ class RenderingContext:
         options = dict(self.renderer_options)
         # narrowing-wavefront progressive driver (pt only): live lanes
         # compact into width buckets between jitted one-bounce segments
-        # (CLI: -pt ... -narrow 1). render() only — render_batch keeps the
-        # fully in-graph monolithic loop (narrowing needs a host readback).
+        # (CLI: -pt ... -opt narrow=1). render() only — render_batch keeps
+        # the fully in-graph monolithic loop (narrowing needs a readback).
         narrow = bool(options.pop("narrow", False)) and self.renderer == "pt"
         pass_fn, opts = _RENDERER_REGISTRY[self.renderer](**options)
         res_x, res_y, seed = self.res_x, self.res_y, self.seed

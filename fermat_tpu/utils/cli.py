@@ -10,7 +10,9 @@ Usage:
       -c models/CornellBox/camera-frontal.txt -r 256 256 -passes 16 -o out.tga
 
 Renderer selection: -pt | -bpt (registry names; plugins add more).
-Per-renderer options: -opt key=value (e.g. -opt max_path_length=8).
+Per-renderer options: -opt key=value (e.g. -opt max_path_length=8;
+-opt narrow=1 enables the narrowing-wavefront pt driver — fastest for
+large scenes where Russian roulette collapses the live wavefront).
 Plugins: -plugin my_module  ->  import + my_module.register_plugin()
 (the DLL register_plugin analog, hellopt_plugin.cpp:36-40).
 """

@@ -1440,7 +1440,7 @@ class NarrowPass:
 
     def __init__(self, view: SceneView, opts: PTOptions, res_x: int,
                  res_y: int, seed: int = 0, min_width: int = 1 << 13,
-                 fuse: bool = True):
+                 fuse: bool = False):
         assert opts.tracer != "mega", "mega kernel has its own pass driver"
         assert not opts.queue_compaction, (
             "narrowing replaces in-loop queue compaction")
@@ -1655,15 +1655,22 @@ class NarrowPass:
         return self._fused[schedule]
 
     def __call__(self, instance) -> _PassOutput:
-        """Run one pass. fuse=True (default): after one profiling pass,
-        the whole pass runs as ONE jitted program with the width schedule
-        baked in (zero readbacks, zero per-segment dispatches); each
-        shrink verifies in-graph that no live lane was dropped, and an
-        overflow (live grew past the speculated bucket) discards that
-        run and falls back to the exact dynamic loop, which also
-        refreshes the schedule. Exactness is unconditional — the fused
-        path either reproduces the dynamic result bit-for-bit or is
-        thrown away."""
+        """Run one pass. fuse=True (OPT-IN; measured loss, see below):
+        after one profiling pass, the whole pass runs as ONE jitted
+        program with the width schedule baked in (zero readbacks, zero
+        per-segment dispatches); each shrink verifies in-graph that no
+        live lane was dropped, and an overflow (live grew past the
+        speculated bucket) discards that run and falls back to the exact
+        dynamic loop, which also refreshes the schedule. Exactness is
+        unconditional — the fused path either reproduces the dynamic
+        result bit-for-bit or is thrown away.
+
+        Hardware verdict (round 4): fused LOSES on bathroom2 (5.01 s vs
+        4.26 s dynamic) and ties on bigroom (2.57 vs 2.56) — dispatches
+        are async, so the dynamic loop's only real sync is the per-bounce
+        live-count read, which overlaps the running segment; the fused
+        program additionally pays headroom-padded widths. Kept opt-in
+        for non-tunneled backends where dispatch latency may differ."""
         if not self.fuse:
             return self._dynamic(instance)
         if self._schedule is None:

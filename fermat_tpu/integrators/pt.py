@@ -1349,7 +1349,11 @@ def render_pass(
     if _carry_in is not None:
         # narrowing-driver segment: ONE loop bounce on a (possibly
         # live-compacted, narrower) carry; `_b` is traced so one compiled
-        # program per width serves every bounce index
+        # program per width serves every bounce index. Intentionally the
+        # XLA shade even when fused_tables is set: the fused Pallas shade
+        # loses to XLA fusion on every measured scene (see the
+        # fused_shade option note above), and the narrow driver exists
+        # for exactly the large scenes where it loses most.
         return bounce(_b, _carry_in, False)
 
     # bounce 0 peeled (static routing); bounces 1..max in a fori_loop
@@ -1695,8 +1699,15 @@ def render_pass_narrow(view, opts, res_x, res_y, instance, seed=0,
     drv = _NARROW_CACHE.get(key)
     if drv is None or drv.view is not view:
         drv = NarrowPass(view, opts, res_x, res_y, seed, min_width)
+        # bounded FIFO: SceneViews are NamedTuples (not weakref-able), so
+        # an unbounded id-keyed cache would pin every view ever rendered
+        while len(_NARROW_CACHE) >= _NARROW_CACHE_MAX:
+            _NARROW_CACHE.pop(next(iter(_NARROW_CACHE)))
         _NARROW_CACHE[key] = drv
+    else:
+        _NARROW_CACHE[key] = _NARROW_CACHE.pop(key)  # LRU refresh
     return drv(instance)
 
 
 _NARROW_CACHE: dict = {}
+_NARROW_CACHE_MAX = 8

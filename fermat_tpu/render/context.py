@@ -410,7 +410,12 @@ class RenderingContext:
             return self.render(n_passes)
         key = ("batch", n_passes)
         if key not in self.stats:
-            pass_fn, opts = _RENDERER_REGISTRY[self.renderer](**self.renderer_options)
+            # strip driver-level keys the factories don't accept ('narrow'
+            # belongs to the render() narrowing driver, not the options
+            # NamedTuple — render_batch always runs the monolithic loop)
+            options = dict(self.renderer_options)
+            options.pop("narrow", None)
+            pass_fn, opts = _RENDERER_REGISTRY[self.renderer](**options)
             res_x, res_y, seed = self.res_x, self.res_y, self.seed
 
             def batch(view: SceneView, fb: Framebuffer, instance0):

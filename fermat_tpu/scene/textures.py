@@ -279,9 +279,18 @@ def _atlas_replace(self, **kw):
     gradients and ignoring texel optimization steps (the differentiable-
     texture train path does exactly this replace). Sampling falls back to
     the float row-gather path when the mirror is absent."""
-    if "texels" in kw and "packed" not in kw:
-        kw.setdefault("packed", None)
-        kw.setdefault("packed_r", None)
+    if "texels" in kw:
+        # the mirror survives only when BOTH halves are explicitly
+        # re-supplied; a lone packed (or packed_r) would pair fresh taps
+        # with stale right-neighbor taps in sample_bilinear0
+        if ("packed" in kw) != ("packed_r" in kw):
+            raise ValueError(
+                "TextureAtlas._replace: packed and packed_r must be "
+                "replaced together (the RGBA8 mirror is a pair)"
+            )
+        if "packed" not in kw:
+            kw["packed"] = None
+            kw["packed_r"] = None
     return _ORIG_ATLAS_REPLACE(self, **kw)
 
 

@@ -239,6 +239,17 @@ class TestNarrowingDriver:
                                    np.asarray(b.composited),
                                    atol=2e-5, rtol=1e-5)
 
+    def test_context_narrow_render_batch(self):
+        """render_batch on a narrow=True context must strip the driver-
+        level key before calling the renderer factory (ADVICE r4 medium:
+        PTOptions(**kw) got an unexpected 'narrow' argument) and match
+        the plain batch render."""
+        a = _ctx(max_path_length=4).render_batch(2)
+        b = _ctx(max_path_length=4, narrow=True).render_batch(2)
+        np.testing.assert_allclose(np.asarray(a.composited),
+                                   np.asarray(b.composited),
+                                   atol=2e-5, rtol=1e-5)
+
 
 def test_compact_light_sampling_bit_parity():
     """Compact emissive-only light tables (round 4: the full-length CDF

@@ -51,9 +51,9 @@ def run_one(scene: str, tracer: str) -> dict:
         from fermat_tpu.integrators.pt import NarrowPass
 
         drv = NarrowPass(view, opts, 1600, 896)
-        out = drv(0)  # profiling pass (dynamic, compiles the segments)
+        out = drv(0)  # warm-up pass (compiles the per-width segments)
         jax.block_until_ready(out.composited.x)
-        out = drv(1)  # first fused-schedule pass (compiles the program)
+        out = drv(1)  # second warm-up (any remaining width buckets)
         jax.block_until_ready(out.composited.x)
         t0 = time.perf_counter()
         out = drv(2)

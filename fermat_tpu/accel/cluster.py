@@ -58,6 +58,12 @@ class ClusterView(NamedTuple):
     hi_x: jax.Array
     hi_y: jax.Array
     hi_z: jax.Array
+    # ORIGINAL-ORDER triangle soup (views of the mesh arrays, no copy):
+    # the round-5 kernel extracts only (t, oid) per visit; barycentric
+    # u/v are recomputed outside from the winning oid via these.
+    p0: object = None  # Vec3 of (T,) arrays
+    e1: object = None
+    e2: object = None
 
     @property
     def n_clusters(self) -> int:
@@ -253,4 +259,5 @@ def build_clusters(mesh_view, method: str = None) -> ClusterView:
         tri=jnp.asarray(tri),
         lo_x=r(c_lo[:, 0]), lo_y=r(c_lo[:, 1]), lo_z=r(c_lo[:, 2]),
         hi_x=r(c_hi[:, 0]), hi_y=r(c_hi[:, 1]), hi_z=r(c_hi[:, 2]),
+        p0=mesh_view.p0, e1=mesh_view.e1, e2=mesh_view.e2,
     )

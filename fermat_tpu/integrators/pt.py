@@ -106,17 +106,6 @@ class PTOptions(NamedTuple):
     # "trilinear" = ray-cone LOD over the mip chain (higher quality than
     # the reference; the round-2/3 default)
     texture_filter: str = "bilinear"
-    # fused per-bounce shade/NEE Pallas kernel (ops/pallas_shade.py):
-    # "off" (DEFAULT) = the XLA shade; "auto" = on TPU when eligible;
-    # "on" = force where eligible on any backend (CPU = interpret mode —
-    # slow, for parity tests). Round-4 verdict: once the real per-bounce
-    # bottleneck (full-length light-CDF searchsorted) moved to compact
-    # tables in BOTH paths, the kernel LOSES to XLA fusion on every
-    # measured scene (bigroom 3.29 vs 3.10 s, bathroom 9.37 vs 8.89 s,
-    # cornell 0.19 vs 0.16 s) — producers can't fuse into a pallas_call,
-    # so ~55 input lanes materialize to HBM. Kept as an option + parity
-    # tests; the attribution story lives in ROOFLINE.md.
-    fused_shade: str = "off"
     # debug: detach whole contribution classes in the backward pass
     detach_nee: bool = False
     detach_emissive: bool = False
@@ -530,34 +519,6 @@ def render_pass(
         seq = TiledSequence.create(seed=seed).set_instance(instance)
     closest, anyhit = _pick_tracers(view, opts)
     anyhit_direct, anyhit_indirect = _pick_shadow_anyhits(view, opts, anyhit)
-
-    # fused per-bounce shade kernel (VERDICT r3 #3): loop bounces route
-    # through ONE pallas_call instead of ~20 XLA fusions; eligibility +
-    # host table build in ops/pallas_shade (None = fall back, e.g. under
-    # a traced view = the differentiable train path)
-    fused_tables = None
-    if (
-        (opts.fused_shade == "on"
-         or (opts.fused_shade == "auto"
-             and jax.default_backend() in ("tpu", "axon")))
-        and sequence is None
-        and opts.nee == "mesh"
-        and opts.glossy_model == "ggx"
-        and not opts.clearcoat
-        and not (opts.debug_nee_no_shadow or opts.debug_nee_fixed_light
-                 or opts.debug_nee_cheap_eval)
-        and not (opts.detach_nee or opts.detach_emissive)
-        and opts.max_path_length > 1
-    ):
-        from fermat_tpu.ops.pallas_shade import build_shade_tables
-
-        try:
-            fused_tables = build_shade_tables(view)
-        except Exception:  # noqa: BLE001 — any doubt: XLA path
-            fused_tables = None
-    if fused_tables is not None:
-        _fused_env = tuple(float(v) for v in np.asarray(
-            jax.device_get(view.env)))
 
     light_compact = (None if opts.nee != "mesh"
                      else _light_compact_tables(view))
@@ -1170,164 +1131,6 @@ def render_pass(
             channel=new_channel,
         )
 
-    def bounce_fused(b, c: Carry) -> Carry:
-        """Loop bounce via the fused shade kernel (ops/pallas_shade):
-        trace + gathers + QMC in XLA, ONE pallas_call for everything
-        elementwise, shadow anyhit + two masked adds after. Same math and
-        the same QMC dims as bounce(); parity pinned in
-        tests/test_fused_shade.py."""
-        from fermat_tpu.ops.gather import gather_rows
-        from fermat_tpu.ops.pallas_shade import shade_bounce_fused
-
-        hit = closest(c.o, c.d, jnp.float32(eps), jnp.float32(3.0e38),
-                      c.alive)
-        c = c._replace(
-            rays=c.rays + jnp.sum(c.alive.astype(jnp.float32)),
-            rays_lane=c.rays_lane + c.alive.astype(jnp.float32),
-        )
-        valid = c.alive & hit.hit_mask
-        tri_c = jnp.maximum(hit.tri, 0)
-        pos, gn, sn, uv, mat_id, lod_base, mats = view.mesh.shade_fetch(
-            tri_c, hit.u, hit.v, table=shade_tab
-        )
-        params = BsdfParams.from_materials(mats)
-        cone_w = c.cone_width + jnp.where(valid, hit.t, 0.0) * cone_spread
-        c = c._replace(cone_width=cone_w)
-        le = mats.emissive
-        if view.has_textures:
-            from fermat_tpu.scene.textures import modulate
-
-            d_tex = mats.diffuse_map
-            if opts.texture_filter == "trilinear":
-                res0 = view.textures.width[jnp.maximum(d_tex, 0), 0].astype(
-                    jnp.float32)
-                lod = (
-                    lod_base
-                    + jnp.log2(jnp.maximum(cone_w, 1e-8))
-                    + jnp.log2(jnp.maximum(res0, 1.0))
-                )
-                rgba_d = view.textures.sample(d_tex, uv[:, 0], uv[:, 1], lod)
-                rgba_s = view.textures.sample(mats.specular_map, uv[:, 0],
-                                              uv[:, 1], lod)
-            else:
-                rgba_d = view.textures.sample_bilinear0(
-                    d_tex, uv[:, 0], uv[:, 1])
-                rgba_s = view.textures.sample_bilinear0(
-                    mats.specular_map, uv[:, 0], uv[:, 1])
-            params = params._replace(
-                diffuse=modulate(params.diffuse, rgba_d),
-                specular=modulate(params.specular, rgba_s),
-            )
-            if _any_emissive_maps(view):
-                rgba_e = view.textures.sample(mats.emissive_map, uv[:, 0],
-                                              uv[:, 1], None)
-                le = modulate(le, rgba_e)
-        pdf_area_hit = view.lights.pdf_area_of(tri_c)
-        ecoef = gather_rows(fused_tables.ecoef, mat_id)  # (N, 33)
-
-        stride_f = opts.dims_per_bounce
-        base_dim = jnp.uint32(2) + jnp.asarray(b, jnp.uint32) * jnp.uint32(
-            stride_f)
-        ul0, ul1, ul2 = seq.sample_3d(c.pix_u, base_dim)
-        ub0, ub1, ub2 = seq.sample_3d(c.pix_u, base_dim + jnp.uint32(3))
-        u_rr = (seq.sample_1d(c.pix_u, base_dim + jnp.uint32(6))
-                if opts.rr else jnp.zeros(n, jnp.float32))
-
-        # light sampling in XLA from the COMPACT emissive-only table
-        # (same math as lights.sample/sample_ex, bit-equal triangle
-        # picks; the full-length tables cost a 100k-entry searchsorted
-        # + 23-col scalar gather per bounce at bigroom scale)
-        from fermat_tpu.core.sampling import square_to_uniform_triangle
-
-        lcdf = fused_tables.light_cdf
-        lr = fused_tables.light_rows
-        n_l = lcdf.shape[0]
-        if n_l <= 2048:
-            ltri = jnp.sum((lcdf[None, :] <= ul2[:, None]).astype(jnp.int32),
-                           axis=1)
-        else:
-            ltri = jnp.searchsorted(lcdf, ul2, side="right").astype(jnp.int32)
-        ltri = jnp.clip(ltri, 0, n_l - 1)
-        from fermat_tpu.ops.gather import gather_rows as _grows
-
-        lrow = _grows(lr, ltri)
-        lb0, lb1 = square_to_uniform_triangle(ul0, ul1)
-        _lv = lambda ci: Vec3(lrow[:, ci], lrow[:, ci + 1], lrow[:, ci + 2])
-        _lp0, _le1, _le2 = _lv(0), _lv(3), _lv(6)
-        ln, lle = _lv(9), _lv(12)
-        lpos = _lp0 + _le1 * lb0 + _le2 * lb1
-        lpdf_a = lrow[:, 15]
-        if view.has_textures and _any_emissive_maps(view):
-            from fermat_tpu.scene.textures import modulate as _mod
-
-            luv_u = lrow[:, 16] + lrow[:, 18] * lb0 + lrow[:, 20] * lb1
-            luv_v = lrow[:, 17] + lrow[:, 19] * lb0 + lrow[:, 21] * lb1
-            lemap = lrow[:, 22].astype(jnp.int32)
-            rgba_l = view.textures.sample(lemap, luv_u, luv_v, None)
-            lle = _mod(lle, rgba_l)
-
-        f32 = lambda a: a.astype(jnp.float32)
-        outs = shade_bounce_fused(
-            fused_tables, opts, _fused_env, b,
-            dict(
-                posx=pos.x, posy=pos.y, posz=pos.z,
-                dx=c.d.x, dy=c.d.y, dz=c.d.z, t=hit.t, valid=f32(valid),
-                gnx=gn.x, gny=gn.y, gnz=gn.z,
-                snx=sn.x, sny=sn.y, snz=sn.z,
-                thrx=c.thr.x, thry=c.thr.y, thrz=c.thr.z,
-                prev_pdf=c.prev_pdf, channel=f32(c.channel),
-                alive=f32(c.alive),
-                dfx=params.diffuse.x, dfy=params.diffuse.y,
-                dfz=params.diffuse.z,
-                spx=params.specular.x, spy=params.specular.y,
-                spz=params.specular.z,
-                dtx=params.diffuse_trans.x, dty=params.diffuse_trans.y,
-                dtz=params.diffuse_trans.z,
-                rfx=params.reflectivity.x, rfy=params.reflectivity.y,
-                rfz=params.reflectivity.z,
-                rough=params.roughness, ior=params.ior,
-                opac=params.opacity,
-                emx=le.x, emy=le.y, emz=le.z, pdfa_hit=pdf_area_hit,
-                lpx=lpos.x, lpy=lpos.y, lpz=lpos.z,
-                lnx=ln.x, lny=ln.y, lnz=ln.z,
-                llex=lle.x, lley=lle.y, llez=lle.z, lpdfa=lpdf_a,
-                ub0=ub0, ub1=ub1, ub2=ub2,
-                urr=u_rr, ecoef=ecoef,
-            ),
-        )
-        c = c._replace(
-            l_direct=Vec3(c.l_direct.x + outs["ldx"],
-                          c.l_direct.y + outs["ldy"],
-                          c.l_direct.z + outs["ldz"]),
-            l_diffuse=Vec3(c.l_diffuse.x + outs["lfx"],
-                           c.l_diffuse.y + outs["lfy"],
-                           c.l_diffuse.z + outs["lfz"]),
-            l_specular=Vec3(c.l_specular.x + outs["lsx"],
-                            c.l_specular.y + outs["lsy"],
-                            c.l_specular.z + outs["lsz"]),
-        )
-        able = outs["able"] > 0.0
-        sh_o = Vec3(outs["shox"], outs["shoy"], outs["shoz"])
-        sh_d = Vec3(outs["shdx"], outs["shdy"], outs["shdz"])
-        occluded = anyhit_indirect(sh_o, sh_d, jnp.float32(0.0),
-                                   outs["shtmax"], able)
-        c = c._replace(
-            rays=c.rays + jnp.sum(able.astype(jnp.float32)),
-            rays_lane=c.rays_lane + able.astype(jnp.float32),
-        )
-        lit = able & ~occluded
-        c = add_routed(
-            c, Vec3(outs["neex"], outs["neey"], outs["neez"]), lit,
-            c.channel,
-        )
-        return c._replace(
-            o=Vec3(outs["nox"], outs["noy"], outs["noz"]),
-            d=Vec3(outs["ndx"], outs["ndy"], outs["ndz"]),
-            thr=Vec3(outs["nthrx"], outs["nthry"], outs["nthrz"]),
-            alive=outs["nalive"] > 0.0,
-            prev_pdf=outs["npdf"],
-        )
-
     def compact_carry(c: Carry) -> Carry:
         """Permute lanes so live ones form a dense prefix (queue-append
         analog via ops/compact; sort-free cumsum permutation). A pure
@@ -1349,11 +1152,7 @@ def render_pass(
     if _carry_in is not None:
         # narrowing-driver segment: ONE loop bounce on a (possibly
         # live-compacted, narrower) carry; `_b` is traced so one compiled
-        # program per width serves every bounce index. Intentionally the
-        # XLA shade even when fused_tables is set: the fused Pallas shade
-        # loses to XLA fusion on every measured scene (see the
-        # fused_shade option note above), and the narrow driver exists
-        # for exactly the large scenes where it loses most.
+        # program per width serves every bounce index
         return bounce(_b, _carry_in, False)
 
     # bounce 0 peeled (static routing); bounces 1..max in a fori_loop
@@ -1361,9 +1160,7 @@ def render_pass(
     if _raw:
         return carry
     if opts.max_path_length > 1:
-        if fused_tables is not None:
-            body = lambda b, c: bounce_fused(b, c)
-        elif opts.queue_compaction:
+        if opts.queue_compaction:
             body = lambda b, c: bounce(b, compact_carry(c), False)
         else:
             body = lambda b, c: bounce(b, c, False)
@@ -1443,8 +1240,7 @@ class NarrowPass:
     """
 
     def __init__(self, view: SceneView, opts: PTOptions, res_x: int,
-                 res_y: int, seed: int = 0, min_width: int = 1 << 13,
-                 fuse: bool = False):
+                 res_y: int, seed: int = 0, min_width: int = 1 << 13):
         assert opts.tracer != "mega", "mega kernel has its own pass driver"
         assert not opts.queue_compaction, (
             "narrowing replaces in-loop queue compaction")
@@ -1469,10 +1265,6 @@ class NarrowPass:
         self._seg = {}      # width -> jitted one-bounce segment
         self._shrink = {}   # (W, Wp) -> jitted fold+compact
         self._finish = {}   # width -> jitted final fold
-        self._fused = {}    # schedule tuple -> jitted whole pass
-        self._schedule = None
-        self.fuse = fuse
-        self.overflows = 0  # fused-schedule misses (observability)
 
     # -- program builders (cached per static width) --
 
@@ -1612,83 +1404,15 @@ class NarrowPass:
         acc = self._get_finish(w)(carry, acc)
         return self._assemble(acc, g, rays)
 
-    # -- speculative fused schedule: the whole pass as ONE program --
-
-    def _schedule_from_profile(self) -> tuple:
-        """Width per bounce from the last dynamic profile, with one
-        bucket of headroom when the observed live count sits in the top
-        1/8 of its bucket (live varies ~±1% across instances; b3 on
-        bathroom2 was measured at 98.7% bucket occupancy). Bounces the
-        profile never reached (early exit) run at the floor width."""
-        widths = {}
-        for b, live, w in getattr(self, "last_profile", []):
-            if live > (w // 8) * 7 and w < self.n:
-                w = min(w * 2, self.n)
-            widths[b] = w
-        sched, prev = [], self.n
-        for b in range(1, self.opts.max_path_length):
-            w = min(widths.get(b, self.min_width), prev)
-            sched.append(w)
-            prev = w
-        return tuple(sched)
-
-    def _get_fused(self, schedule: tuple):
-        if schedule not in self._fused:
-            v, o, rx, ry, s = (self.view, self.opts, self.res_x,
-                               self.res_y, self.seed)
-
-            def fused(inst):
-                carry = render_pass(v, o, rx, ry, inst, s, _raw=True)
-                g = self._grab_g(carry)
-                acc = self._zero_acc()
-                ok = jnp.asarray(True)
-                w = self.n
-                for b, wp in zip(range(1, o.max_path_length), schedule):
-                    if wp < w:
-                        carry, acc, kept = self._shrink_body(carry, acc, wp)
-                        ok = ok & kept
-                        w = wp
-                    carry = render_pass(v, o, rx, ry, inst, s,
-                                        _carry_in=carry,
-                                        _b=jnp.asarray(b, jnp.uint32))
-                rays = carry.rays
-                acc = self._fold(carry, acc)[1]
-                return self._assemble(acc, g, rays), ok
-
-            self._fused[schedule] = jax.jit(fused)
-        return self._fused[schedule]
-
     def __call__(self, instance) -> _PassOutput:
-        """Run one pass. fuse=True (OPT-IN; measured loss, see below):
-        after one profiling pass, the whole pass runs as ONE jitted
-        program with the width schedule baked in (zero readbacks, zero
-        per-segment dispatches); each shrink verifies in-graph that no
-        live lane was dropped, and an overflow (live grew past the
-        speculated bucket) discards that run and falls back to the exact
-        dynamic loop, which also refreshes the schedule. Exactness is
-        unconditional — the fused path either reproduces the dynamic
-        result bit-for-bit or is thrown away.
-
-        Hardware verdict (round 4): fused LOSES on bathroom2 (5.01 s vs
-        4.26 s dynamic) and ties on bigroom (2.57 vs 2.56) — dispatches
-        are async, so the dynamic loop's only real sync is the per-bounce
-        live-count read, which overlaps the running segment; the fused
-        program additionally pays headroom-padded widths. Kept opt-in
-        for non-tunneled backends where dispatch latency may differ."""
-        if not self.fuse:
-            return self._dynamic(instance)
-        if self._schedule is None:
-            out = self._dynamic(instance)  # profiling pass
-            self._schedule = self._schedule_from_profile()
-            return out
-        out, ok = self._get_fused(self._schedule)(
-            jnp.asarray(instance, jnp.uint32))
-        if bool(jax.device_get(ok)):
-            return out
-        self.overflows += 1
-        out = self._dynamic(instance)
-        self._schedule = self._schedule_from_profile()
-        return out
+        """Run one pass via the dynamic narrowing loop. (A speculative
+        whole-pass fused schedule existed in round 4 and was REMOVED in
+        round 5: it lost on bathroom2 (5.01 s vs 4.26 s dynamic) and tied
+        on bigroom — segment dispatches are async, so the dynamic loop's
+        only real sync is the per-bounce live-count read, which overlaps
+        the running segment, while the fused program additionally paid
+        headroom-padded widths.)"""
+        return self._dynamic(instance)
 
 
 def render_pass_narrow(view, opts, res_x, res_y, instance, seed=0,

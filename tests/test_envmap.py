@@ -237,6 +237,44 @@ class TestEnvMapRendering:
             assert rel < 0.06, (name, img.mean(), ref.mean())
             assert np.isfinite(img).all(), name
 
+    def test_direct_env_image_direct_call(self):
+        """Regression for 338f0b3: a stray reference to an undefined
+        name inside direct_env_image broke every env-lit MCMC render
+        with a NameError, and no test called the function directly.
+        Pin the function's own contract: finite, non-zero exactly on
+        camera-miss pixels, zero rays/image for env-free scenes."""
+        from fermat_tpu.integrators.pt import direct_env_image
+
+        cam = Camera.create((0, 2.0, 2.0), (0, 0, 0), (0, 1, 0), 0.7)
+        view = SceneView.build(
+            _floor_scene(0.6), cam,
+            env_map=np.ones((8, 16, 3), np.float32) * 0.8)
+        img, rays = direct_env_image(view, 24, 24, jnp.uint32(0))
+        img = np.asarray(img)
+        assert np.isfinite(img).all()
+        assert img.max() > 0.5 and float(rays) > 0
+        # env-free scene: statically zero, no rays spent
+        view0 = SceneView.build(_floor_scene(0.6), cam)
+        img0, rays0 = direct_env_image(view0, 24, 24, jnp.uint32(0))
+        assert float(np.abs(np.asarray(img0)).max()) == 0.0
+        assert float(rays0) == 0.0
+
+    def test_env_context_smoke_pt_and_mlt(self):
+        """One env-lit pass through RenderingContext for pt AND mlt in
+        the fast tier (VERDICT r4 #5): the full factory -> pass -> env
+        wiring, so a broken direct_env_image (or env handling in the PT
+        bounce loop) cannot ship silently again."""
+        from fermat_tpu.render.context import RenderingContext
+
+        cam = Camera.create((0, 2.0, 2.0), (0, 0, 0), (0, 1, 0), 0.7)
+        for name in ("pt", "mlt"):
+            ctx = RenderingContext.create(
+                _floor_scene(0.6), cam, 16, 16, renderer=name,
+                env_map=np.ones((8, 16, 3), np.float32), max_path_length=2)
+            img = np.asarray(ctx.render(1).composited)
+            assert np.isfinite(img).all(), name
+            assert img.mean() > 0.1, (name, img.mean())
+
     def test_mcmc_direct_env_term(self):
         """Directly-visible env stays an additive QMC term outside the
         chains for both MCMC path-space renderers (no double counting:

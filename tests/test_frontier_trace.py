@@ -103,29 +103,29 @@ def test_frontier_sorted_path_matches_unsorted():
     )
 
 
-def test_frontier_multiround_matches_single():
-    """Capped re-binning rounds must be EXACT vs the single sweep and
-    brute force, for several cap schedules including tiny caps that
-    force many resume/horizon handoffs."""
+def test_frontier_kwide_matches_brute_all_k():
+    """K-wide visit groups (round 5) must be EXACT vs brute force for
+    every group width, including K=1 (the round-4 behavior) and K larger
+    than a typical per-block frontier."""
     mesh = random_soup(1500, seed=21).device_view()
     cl = build_clusters(mesh)
     o, d = _rays(8, n=1024)
     tmin, tmax = jnp.float32(1e-4), jnp.float32(3e38)
     h_ref = trace_closest_brute(mesh, o, d, tmin, tmax)
     m_ref = np.asarray(h_ref.hit_mask)
-    for caps in ((0,), (4, 0), (2, 2, 0), (1, 1, 1, 0)):
-        h_mr = trace_closest_frontier(cl, o, d, tmin, tmax, block=256,
-                                      rounds=caps)
+    for k in (1, 2, 4, 8):
+        h_k = trace_closest_frontier(cl, o, d, tmin, tmax, block=256,
+                                     k_wide=k)
         np.testing.assert_array_equal(
-            m_ref, np.asarray(h_mr.hit_mask), err_msg=f"caps={caps}"
+            m_ref, np.asarray(h_k.hit_mask), err_msg=f"k_wide={k}"
         )
         np.testing.assert_allclose(
-            np.asarray(h_mr.t)[m_ref], np.asarray(h_ref.t)[m_ref],
-            rtol=1e-5, atol=1e-5, err_msg=f"caps={caps}",
+            np.asarray(h_k.t)[m_ref], np.asarray(h_ref.t)[m_ref],
+            rtol=1e-5, atol=1e-5, err_msg=f"k_wide={k}",
         )
 
 
-def test_frontier_multiround_active_mask_and_tmax():
+def test_frontier_kwide_any_and_masks():
     mesh = random_soup(900, seed=23).device_view()
     cl = build_clusters(mesh)
     o, d = _rays(9, n=1024)
@@ -133,33 +133,40 @@ def test_frontier_multiround_active_mask_and_tmax():
     active = jnp.asarray(r.random(1024) < 0.6)
     tmax_v = jnp.asarray(2.0 + 6.0 * r.random(1024).astype(np.float32))
     tmin = jnp.float32(1e-4)
-    h_ref = trace_closest_brute(mesh, o, d, tmin, tmax_v, active=active)
-    h_mr = trace_closest_frontier(cl, o, d, tmin, tmax_v, active=active,
-                                  block=256, rounds=(3, 0))
     act = np.asarray(active)
-    np.testing.assert_array_equal(
-        np.asarray(h_ref.hit_mask) & act, np.asarray(h_mr.hit_mask) & act
-    )
-    m = np.asarray(h_ref.hit_mask) & act
-    np.testing.assert_allclose(
-        np.asarray(h_mr.t)[m], np.asarray(h_ref.t)[m], rtol=1e-5, atol=1e-5
-    )
+    occ_ref = np.asarray(
+        trace_any_brute(mesh, o, d, tmin, tmax_v, active=active))
+    h_ref = trace_closest_brute(mesh, o, d, tmin, tmax_v, active=active)
+    for k in (2, 4):
+        occ_k = np.asarray(trace_any_frontier(
+            cl, o, d, tmin, tmax_v, active=active, block=256, k_wide=k))
+        np.testing.assert_array_equal(occ_ref, occ_k, err_msg=f"k={k}")
+        h_k = trace_closest_frontier(cl, o, d, tmin, tmax_v, active=active,
+                                     block=256, k_wide=k)
+        np.testing.assert_array_equal(
+            np.asarray(h_ref.hit_mask) & act,
+            np.asarray(h_k.hit_mask) & act, err_msg=f"k={k}")
+        m = np.asarray(h_ref.hit_mask) & act
+        np.testing.assert_allclose(
+            np.asarray(h_k.t)[m], np.asarray(h_ref.t)[m],
+            rtol=1e-5, atol=1e-5, err_msg=f"k={k}")
 
 
-def test_frontier_visit_counts_multiround_not_larger():
-    """Total visits across capped rounds must never exceed the single
-    sweep's (the horizon guarantees no re-visits), and the visits output
-    concatenates one entry per block per round."""
+def test_frontier_kwide_visit_overhead_bounded():
+    """K-wide groups may test a few extra clusters per block (the K-group
+    commits before earlier members' results land) but must stay within a
+    small additive bound of the 1-wide visit counts."""
     mesh = random_soup(2000, seed=25).device_view()
     cl = build_clusters(mesh)
     o, d = _rays(10, n=2048)
     tmin, tmax = jnp.float32(1e-4), jnp.float32(3e38)
     _, v1 = trace_closest_frontier(cl, o, d, tmin, tmax, block=256,
-                                   rounds=(0,), return_visits=True)
-    _, v2 = trace_closest_frontier(cl, o, d, tmin, tmax, block=256,
-                                   rounds=(4, 0), return_visits=True)
-    assert v2.shape[0] == 2 * v1.shape[0]
-    assert float(v2.sum()) <= float(v1.sum()) * 1.35 + 8 * 2
+                                   k_wide=1, return_visits=True)
+    _, v4 = trace_closest_frontier(cl, o, d, tmin, tmax, block=256,
+                                   k_wide=4, return_visits=True)
+    assert v4.shape == v1.shape
+    n_blocks = v1.shape[0]
+    assert float(v4.sum()) <= float(v1.sum()) + 2 * 4 * n_blocks
 
 
 def test_frontier_sah_clusters_match_brute():

@@ -201,35 +201,6 @@ class TestNarrowingDriver:
         np.testing.assert_array_equal(np.asarray(ref.rays_lane),
                                       np.asarray(out.rays_lane))
 
-    def test_fused_schedule_and_overflow_fallback(self):
-        """fuse=True: pass 1 profiles, later passes run ONE jitted
-        program with the width schedule baked in. Must stay exact, and a
-        speculated-too-small schedule must be detected in-graph and fall
-        back to the dynamic loop (exactness is unconditional)."""
-        from fermat_tpu.integrators.pt import (
-            NarrowPass, PTOptions, render_pass)
-        from fermat_tpu.scene.view import SceneView
-
-        view = SceneView.build(cornell_box(), cornell_camera())
-        opts = PTOptions(max_path_length=5)
-        ref = jax.jit(lambda i: render_pass(view, opts, RES, RES, i))
-        drv = NarrowPass(view, opts, RES, RES, min_width=64, fuse=True)
-        for inst in (3, 7):  # 3 = profiling (dynamic), 7 = fused
-            a, b = ref(jnp.uint32(inst)), drv(inst)
-            np.testing.assert_allclose(
-                np.asarray(a.composited.stack()),
-                np.asarray(b.composited.stack()), atol=2e-5, rtol=1e-5)
-            assert float(a.rays) == float(b.rays)
-        assert drv._schedule is not None and drv.overflows == 0
-        # forced overflow: absurd schedule -> in-graph detection -> exact
-        drv._schedule = tuple([64] * (opts.max_path_length - 1))
-        a, b = ref(jnp.uint32(9)), drv(9)
-        assert drv.overflows == 1
-        np.testing.assert_allclose(
-            np.asarray(a.composited.stack()),
-            np.asarray(b.composited.stack()), atol=2e-5, rtol=1e-5)
-        assert float(a.rays) == float(b.rays)
-
     def test_context_narrow_option(self):
         """RenderingContext(-narrow 1) routes through the narrowing
         driver and produces the same progressive image."""

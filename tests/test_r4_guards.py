@@ -62,18 +62,33 @@ class TestFrontierMaxCp:
         from fermat_tpu.ops import pallas_frontier_trace as ft
         from fermat_tpu.core.math import Vec3
 
-        cp = ft.MAX_CP + 128
+        # the gate is VMEM-derived per block size (round 5): build a
+        # cluster set one tile past the block=128 budget. tri stays tiny
+        # (the gate must fire before any device allocation of that size).
+        cp = ft.max_clusters(128) + 128
         row = jnp.zeros((1, cp), jnp.float32)
-        cl = ClusterView(tri=jnp.zeros((cp, 16, 128), jnp.float32),
+        cl = ClusterView(tri=jnp.zeros((8, 16, 128), jnp.float32),
                          lo_x=row, lo_y=row, lo_z=row,
                          hi_x=row, hi_y=row, hi_z=row)
         n = 4
         o = Vec3(*(jnp.zeros(n),) * 3)
         d = Vec3(jnp.zeros(n), jnp.zeros(n), jnp.ones(n))
-        with pytest.raises(ValueError, match="MAX_CP"):
-            ft.trace_closest_frontier(cl, o, d, 1e-4, 1e30)
-        with pytest.raises(ValueError, match="MAX_CP"):
-            ft.trace_any_frontier(cl, o, d, 1e-4, 1e30)
+        with pytest.raises(ValueError, match="VMEM budget"):
+            ft.trace_closest_frontier(cl, o, d, 1e-4, 1e30, block=128)
+        with pytest.raises(ValueError, match="VMEM budget"):
+            ft.trace_any_frontier(cl, o, d, 1e-4, 1e30, block=128)
+
+    def test_gate_scales_with_block(self):
+        """The round-4 fixed Cp<=4096 fence (sized for BLK=512) is gone:
+        at the default BLK=128 the E-matrix budget admits 16x more
+        clusters, covering 600k-triangle scenes (tools/tpu_600k_check.py
+        proves exactness + throughput on hardware)."""
+        from fermat_tpu.ops import pallas_frontier_trace as ft
+
+        assert ft.max_clusters(128) >= 4096 * 4
+        assert ft.max_clusters(512) == ft.max_clusters(128) // 4
+        # 600k tris at CLUSTER=128 with SAH fill ~75% -> ~6.3k clusters
+        assert ft.max_clusters(128) * 128 >= 600_000
 
 
 class TestRngUpperBound:

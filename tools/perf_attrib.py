@@ -54,7 +54,6 @@ def main() -> None:
     ap.add_argument("--bounces", type=int, default=6)
     ap.add_argument("--scene", default="cornell")
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--fused", default="off")
     args = ap.parse_args()
 
     import jax
@@ -88,8 +87,7 @@ def main() -> None:
         view = SceneView.build(scene, cornell_camera())
         res_x = res_y = args.res
     opts = PTOptions(max_path_length=args.bounces,
-                     lobes=scene_lobes(scene.materials),
-                     fused_shade=args.fused)
+                     lobes=scene_lobes(scene.materials))
 
     # close over the view: passing it as a jit ARG makes it traced, which
     # disables the concrete-view fast paths (compact light tables, fused

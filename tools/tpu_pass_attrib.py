@@ -21,8 +21,7 @@ import numpy as np
 
 print("connecting...", flush=True)
 print("backend:", jax.default_backend(), jax.devices(), "scene=", SCENE,
-      "blk=", os.environ.get("FERMAT_FRONTIER_BLK", "128"),
-      "rounds=", os.environ.get("FERMAT_FRONTIER_ROUNDS", "0"), flush=True)
+      "blk=", os.environ.get("FERMAT_FRONTIER_BLK", "128"), flush=True)
 
 from fermat_tpu.accel.cluster import build_clusters
 from fermat_tpu.bsdf.composite import scene_lobes

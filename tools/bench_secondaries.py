@@ -77,6 +77,78 @@ def run_one(scene: str, tracer: str) -> dict:
             "tracer": tracer, "path": "mono"}
 
 
+def run_integrator(which: str) -> dict:
+    """Non-PT integrators on the hardware record (VERDICT r4 #4): a BPT
+    pass on the water-caustic stand-in (the SDS transport BPT exists
+    for, renderers/bpt_impl.h:196-260) and MLT chain-mutation throughput
+    (mlt.cu's chain loop). One warm pass, then one timed pass."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fermat_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from fermat_tpu.bsdf.composite import scene_lobes
+    from fermat_tpu.core.camera import Camera
+    from fermat_tpu.scene.procedural import caustic_standin
+    from fermat_tpu.scene.view import SceneView
+
+    mesh, cam = caustic_standin()
+    view = SceneView.build(mesh, cam)
+    res = 512
+    if which == "bpt":
+        from fermat_tpu.integrators.bpt import BPTOptions, render_pass_fb
+
+        opts = BPTOptions(max_path_length=6,
+                          lobes=scene_lobes(mesh.materials))
+        fn = jax.jit(lambda inst: render_pass_fb(
+            view, opts, res, res, inst, 0))
+        out = fn(jnp.uint32(0))
+        jax.block_until_ready(out.composited.x)
+        best = 1e30
+        for rep in (1, 2):
+            t0 = time.perf_counter()
+            out = fn(jnp.uint32(rep))
+            jax.block_until_ready(out.composited.x)
+            best = min(best, time.perf_counter() - t0)
+        return {"bpt_caustic512_spp_s": round(1.0 / best, 3),
+                "bpt_caustic512_mrays": round(float(out.rays) / best / 1e6,
+                                              3)}
+    from fermat_tpu.integrators import mlt as mlt_mod
+
+    opts = mlt_mod.MLTOptions(lobes=scene_lobes(mesh.materials))
+    n_chains = res * res  # one chain per pixel (mlt.h n_chains default)
+    fn = jax.jit(lambda inst: mlt_mod.render_pass(
+        view, opts, res, res, inst, 0))
+    img, _rays = fn(jnp.uint32(0))
+    jax.block_until_ready(img)
+    best = 1e30
+    for rep in (1, 2):
+        t0 = time.perf_counter()
+        img, _rays = fn(jnp.uint32(rep))
+        jax.block_until_ready(img)
+        best = min(best, time.perf_counter() - t0)
+    muts = n_chains * opts.steps_per_pass
+    return {"mlt_caustic512_Mmut_s": round(muts / best / 1e6, 3)}
+
+
+def attempt_integrator(which: str, budget_s: float) -> dict | None:
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--integrator",
+             which],
+            capture_output=True, text=True, timeout=budget_s,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            return json.loads(r.stdout.strip().splitlines()[-1])
+        print(f"{which} rc={r.returncode}: "
+              f"{r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ''}",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"{which} failed: {e}", file=sys.stderr, flush=True)
+    return None
+
+
 def attempt(scene: str, budget_s: float) -> dict | None:
     """budget_s bounds the WHOLE attempt (both tracer tries share it)."""
     deadline = time.time() + budget_s
@@ -107,6 +179,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         print(json.dumps(run_one(sys.argv[2], sys.argv[3])), flush=True)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--integrator":
+        print(json.dumps(run_integrator(sys.argv[2])), flush=True)
+        return
     # budget: stay under bench.py's 1500 s subprocess timeout with margin,
     # and print the partial JSON line after EVERY completed stage so a
     # parent-side timeout still salvages finished results (bench.py parses
@@ -122,12 +197,24 @@ def main() -> None:
         print(json.dumps(out), flush=True)
     remaining = deadline - time.time()
     if remaining > 120.0:
-        bath = attempt("bathroom", remaining)
+        bath = attempt("bathroom", min(500.0, remaining))
         if bath is not None:
             out["bathroom2_standin_1600x896_spp_s"] = round(bath["spp_s"], 4)
             out["bathroom2_standin_mrays"] = round(bath["mrays"], 3)
             out["bathroom2_tracer"] = bath["tracer"]
             out["bathroom2_path"] = bath.get("path", "mono")
+            print(json.dumps(out), flush=True)
+    # non-PT integrators on the hardware record (VERDICT r4 #4)
+    for which in ("bpt", "mlt"):
+        remaining = deadline - time.time()
+        if remaining < 120.0:
+            print(f"{which} skipped: budget exhausted", file=sys.stderr,
+                  flush=True)
+            break
+        r = attempt_integrator(which, remaining)
+        if r is not None:
+            out.update(r)
+            print(json.dumps(out), flush=True)
     print(json.dumps(out), flush=True)
 
 

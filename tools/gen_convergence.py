@@ -63,6 +63,13 @@ def rmse(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.sqrt(np.mean((ta - tb) ** 2)))
 
 
+def rmse_linear(a: np.ndarray, b: np.ndarray) -> float:
+    # linear-space RMSE: discriminates in the low-spp regime where the
+    # tone-mapped metric saturates (VERDICT r4 #7: the 1->8 spp rows of
+    # the tone-mapped curve were flat)
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", default="1600x896")
@@ -117,18 +124,20 @@ def main() -> int:
         f"{args.spp/(time.time()-t0):.4f} spp/s, "
         f"backend {jax.default_backend()})",
         "",
-        "| spp | tone-mapped RMSE vs golden | ratio to prev |",
-        "|---|---|---|",
+        "| spp | tone-mapped RMSE | ratio | linear RMSE | ratio |",
+        "|---|---|---|---|---|",
     ]
-    prev = None
+    prev = prev_l = None
     for spp in sorted(checkpoints):
         if spp == args.spp:
             continue
         e = rmse(checkpoints[spp], golden)
+        el = rmse_linear(checkpoints[spp], golden)
         ratio = "" if prev is None else f"{e/prev:.3f}"
-        lines.append(f"| {spp} | {e:.5f} | {ratio} |")
+        ratio_l = "" if prev_l is None else f"{el/prev_l:.3f}"
+        lines.append(f"| {spp} | {e:.5f} | {ratio} | {el:.5f} | {ratio_l} |")
         print(lines[-1], flush=True)
-        prev = e
+        prev, prev_l = e, el
     out = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "CONVERGENCE.md")
     header = not os.path.exists(out)

@@ -74,6 +74,114 @@ class ClusterView(NamedTuple):
         return self.tri.shape[0] // GROUP
 
 
+class SubclusterView(NamedTuple):
+    """Round-5 fine-granularity acceleration view (32-triangle leaves).
+
+    The frontier kernel's MT tile burns a full 128-lane vreg row per
+    visit regardless of how many lanes hold useful triangles, so finer
+    leaves only pay off if several can share one tile. Solution: each
+    L32 subcluster's packed triangle tile is stored at ALL FOUR lane
+    phases (tris at lanes [32p, 32p+32)), so the kernel can DMA the
+    4 nearest eligible subclusters — one per phase — and merge them
+    into ONE dense (BLK, 128) Moller-Trumbore tile with 3 lane-group
+    selects per component row. Needed-set probe: L32 block unions are
+    ~2.1x the L128 unions at 1/4 the triangles each -> ~1.9x fewer
+    pair tests on the big_room incoherent workload.
+    """
+
+    # (Nsub * 4, 16, 128) f32: tile [s*4 + p] holds subcluster s's <=32
+    # triangles at lanes [32p, 32p+32) (rows: p0 e1 e2 oid + 6 pad rows;
+    # all other lanes degenerate det=0 / oid=-1)
+    tri4: jax.Array
+    # (1, Cs_pad) per-SUBCLUSTER bounds (padding boxes empty/inverted)
+    lo_x: jax.Array
+    lo_y: jax.Array
+    lo_z: jax.Array
+    hi_x: jax.Array
+    hi_y: jax.Array
+    hi_z: jax.Array
+    # ORIGINAL-ORDER triangle soup (views, no copy) for u/v recompute
+    p0: object = None
+    e1: object = None
+    e2: object = None
+
+    @property
+    def n_subclusters(self) -> int:
+        return self.tri4.shape[0] // 4
+
+
+SUB = 32  # triangles per subcluster; 4 phases fill the 128-lane tile
+
+
+def build_subclusters(mesh_view) -> SubclusterView:
+    """SAH leaves at max 32 triangles, 4-phase-replicated packed tiles."""
+    p0 = np.stack([np.asarray(mesh_view.p0.x), np.asarray(mesh_view.p0.y),
+                   np.asarray(mesh_view.p0.z)], axis=1)
+    e1 = np.stack([np.asarray(mesh_view.e1.x), np.asarray(mesh_view.e1.y),
+                   np.asarray(mesh_view.e1.z)], axis=1)
+    e2 = np.stack([np.asarray(mesh_view.e2.x), np.asarray(mesh_view.e2.y),
+                   np.asarray(mesh_view.e2.z)], axis=1)
+    v1 = p0 + e1
+    v2 = p0 + e2
+    cent = (p0 + v1 + v2) / 3.0
+    leaves = _sah_leaves(p0, e1, e2, cent, max_size=SUB)
+    ns = len(leaves)
+
+    slot = np.full((ns, SUB), -1, np.int64)
+    for i, l in enumerate(leaves):
+        slot[i, : l.size] = l
+    flat = slot.reshape(-1)
+    valid = flat >= 0
+    take = np.where(valid, flat, 0)
+
+    def comp(a):
+        return np.where(valid, a[take], 0.0).astype(np.float32)
+
+    comps = [comp(p0[:, 0]), comp(p0[:, 1]), comp(p0[:, 2]),
+             comp(e1[:, 0]), comp(e1[:, 1]), comp(e1[:, 2]),
+             comp(e2[:, 0]), comp(e2[:, 1]), comp(e2[:, 2]),
+             np.where(valid, flat, -1).astype(np.float32)]
+    rows = np.stack([c.reshape(ns, SUB) for c in comps], axis=1)  # (ns,10,32)
+
+    # 4-phase replication: tile [s*4 + p] = rows placed at lanes
+    # [32p, 32p+32), zero elsewhere (zero rows are degenerate: det == 0);
+    # the oid row must read -1 off-phase so stale lanes never win ids.
+    tri4 = np.zeros((ns, 4, 16, 128), np.float32)
+    tri4[:, :, 9, :] = -1.0
+    for p in range(4):
+        tri4[:, p, :10, 32 * p: 32 * p + 32] = rows
+    tri4 = tri4.reshape(ns * 4, 16, 128)
+
+    # per-subcluster boxes over all three vertices of real triangles
+    # (each comp is flat (ns*SUB,): reshape FIRST, then stack components —
+    # stacking flats and reshaping would interleave x/y/z across slots)
+    per3 = lambda cs3: np.stack([c.reshape(ns, SUB) for c in cs3], axis=1)
+    p0p = per3(comps[0:3])
+    e1p = per3(comps[3:6])
+    e2p = per3(comps[6:9])
+    v1p = p0p + e1p
+    v2p = p0p + e2p
+    big = 3.0e38
+    vmask = valid.reshape(ns, 1, SUB)
+    mins = np.where(vmask, np.minimum(np.minimum(p0p, v1p), v2p), big)
+    maxs = np.where(vmask, np.maximum(np.maximum(p0p, v1p), v2p), -big)
+    c_lo = mins.min(axis=2)
+    c_hi = maxs.max(axis=2)
+
+    cs = -(-ns // 128) * 128
+    pad = cs - ns
+    c_lo = np.concatenate([c_lo, np.full((pad, 3), big, np.float32)])
+    c_hi = np.concatenate([c_hi, np.full((pad, 3), -big, np.float32)])
+
+    r = lambda a: jnp.asarray(a.astype(np.float32)).reshape(1, -1)
+    return SubclusterView(
+        tri4=jnp.asarray(tri4),
+        lo_x=r(c_lo[:, 0]), lo_y=r(c_lo[:, 1]), lo_z=r(c_lo[:, 2]),
+        hi_x=r(c_hi[:, 0]), hi_y=r(c_hi[:, 1]), hi_z=r(c_hi[:, 2]),
+        p0=mesh_view.p0, e1=mesh_view.e1, e2=mesh_view.e2,
+    )
+
+
 def _morton3d_np(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
     """10-bit-per-axis 3D morton codes (cugar/bits/morton.h analog)."""
 

@@ -102,8 +102,10 @@ import os as _os
 DEF_BLK = int(_os.environ.get("FERMAT_FRONTIER_BLK", "256"))
 # visits per loop iteration (K-wide groups): the (BLK, Cp) pick reduce
 # and the pick->DMA->test chain latency amortize over K visits at ~1-2%
-# extra visits (same sweep; K=8 best for closest, K=2 for anyhit).
-DEF_K = int(_os.environ.get("FERMAT_FRONTIER_K", "8"))
+# extra visits. With the round-5 fully-jitted wrapper the sweep optimum
+# moved to K=4 closest (2.67 Mrays/s big_room incoherent at BLK=256 vs
+# 2.63 at K=8), K=2 anyhit (tools/tpu_kwide_ab.py).
+DEF_K = int(_os.environ.get("FERMAT_FRONTIER_K", "4"))
 DEF_K_ANY = int(_os.environ.get("FERMAT_FRONTIER_K_ANY", "2"))
 _BIG = 3.0e38
 # E-matrix VMEM budget: the gate is block*Cp*4B <= _E_BUDGET, i.e. at the
@@ -430,13 +432,23 @@ def _recompute_uv(clusters: ClusterView, o: Vec3, d: Vec3, tri: Array):
     """Barycentric (u, v) for the winning triangle, one MT eval per ray
     on gathered triangle data — replaces the round-4 per-VISIT in-kernel
     onehot extraction, which tools/tpu_visit_bisect.py measured at
-    ~0.5 us/visit (~40% of the whole visit cost). One fused XLA gather +
-    ~40 flops per ray is ~0.1 ms at 1.43M rays."""
+    ~0.5 us/visit (~40% of the whole visit cost).
+
+    The 9 per-component gathers are packed into ONE (Nt, 16) padded
+    row gather: XLA lowers a 1-D f32 gather as 1-lane row transfers, so
+    nine separate gathers cost ~0.12 s at 1.43M rays on hardware where
+    the single padded-row gather costs ~0.04 s (tools/tpu_gather_ab.py)."""
     idx = jnp.maximum(tri, 0)
-    gx = lambda a: a[idx]
-    p0 = Vec3(gx(clusters.p0.x), gx(clusters.p0.y), gx(clusters.p0.z))
-    e1 = Vec3(gx(clusters.e1.x), gx(clusters.e1.y), gx(clusters.e1.z))
-    e2 = Vec3(gx(clusters.e2.x), gx(clusters.e2.y), gx(clusters.e2.z))
+    tab = jnp.stack([
+        clusters.p0.x, clusters.p0.y, clusters.p0.z,
+        clusters.e1.x, clusters.e1.y, clusters.e1.z,
+        clusters.e2.x, clusters.e2.y, clusters.e2.z,
+    ], axis=1)
+    tab = jnp.pad(tab, ((0, 0), (0, 7)))
+    g = tab[idx]
+    p0 = Vec3(g[:, 0], g[:, 1], g[:, 2])
+    e1 = Vec3(g[:, 3], g[:, 4], g[:, 5])
+    e2 = Vec3(g[:, 6], g[:, 7], g[:, 8])
     pvx = d.y * e2.z - d.z * e2.y
     pvy = d.z * e2.x - d.x * e2.z
     pvz = d.x * e2.y - d.y * e2.x
@@ -539,6 +551,39 @@ def _any_impl(tri, boxes, o, d, tmin, tmax, block: int, k_wide: int):
     return occ.reshape(n_pad)[:n]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("block", "k_wide", "do_sort"))
+def _closest_full(clusters, o, d, tmin_b, tmax_b, tmax_fill,
+                  block: int, k_wide: int, do_sort: bool):
+    """The WHOLE closest pipeline (sort -> gather -> kernel -> un-permute
+    -> uv) under one jit: eager per-stage dispatch cost the round-4
+    wrapper ~0.2 s per 1.43M-ray call (tools/tpu_trace_overhead.py);
+    fused, the non-kernel stages are ~0.1 s."""
+    if do_sort:
+        perm = _sort_perm_packed(clusters, o, d, tmin_b, tmax_b)
+        g = lambda a: a[perm]
+        po = (g(o.x), g(o.y), g(o.z))
+        pd = (g(d.x), g(d.y), g(d.z))
+        ptmin, ptmax = g(tmin_b), g(tmax_b)
+    else:
+        po, pd = (o.x, o.y, o.z), (d.x, d.y, d.z)
+        ptmin, ptmax = tmin_b, tmax_b
+
+    t, tri, visits = _closest_impl(
+        clusters.tri, _boxes(clusters), po, pd, ptmin, ptmax, block,
+        k_wide,
+    )
+    if do_sort:
+        # un-permute by co-sorting on the perm (a permutation of arange):
+        # a multi-operand lax.sort beats two scatter-sets on hardware
+        _p, t, tri = jax.lax.sort((perm, t, tri), dimension=0, num_keys=1)
+
+    u, v = _recompute_uv(clusters, o, d, tri)
+    missed = tri < 0
+    hit = Hit(t=jnp.where(missed, tmax_fill, t), tri=tri, u=u, v=v)
+    return hit, visits
+
+
 def trace_closest_frontier(
     clusters: ClusterView,
     o: Vec3,
@@ -559,41 +604,36 @@ def trace_closest_frontier(
     n = o.x.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    tmax_fill = tmax_b
     if active is not None:
         tmax_b = jnp.where(active, tmax_b, -1.0)
     do_sort = sort and n >= 4 * block
-
-    if do_sort:
-        perm = _sort_perm_packed(clusters, o, d, tmin_b, tmax_b)
-        g = lambda a: a[perm]
-        po = (g(o.x), g(o.y), g(o.z))
-        pd = (g(d.x), g(d.y), g(d.z))
-        ptmin, ptmax = g(tmin_b), g(tmax_b)
-    else:
-        po, pd = (o.x, o.y, o.z), (d.x, d.y, d.z)
-        ptmin, ptmax = tmin_b, tmax_b
-
-    t, tri, visits = _closest_impl(
-        clusters.tri, _boxes(clusters), po, pd, ptmin, ptmax, block,
-        k_wide,
-    )
-    if do_sort:
-        un = lambda a: jnp.zeros_like(a).at[perm].set(a)
-        t, tri = un(t), un(tri)
-
-    u, v = _recompute_uv(clusters, o, d, tri)
-    missed = tri < 0
-    hit = Hit(
-        t=jnp.where(
-            missed, jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,)), t
-        ),
-        tri=tri,
-        u=u,
-        v=v,
-    )
+    hit, visits = _closest_full(clusters, o, d, tmin_b, tmax_b, tmax_fill,
+                                block, k_wide, do_sort)
     if return_visits:
         return hit, visits
     return hit
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "k_wide", "do_sort"))
+def _any_full(clusters, o, d, tmin_b, tmax_b, block: int, k_wide: int,
+              do_sort: bool):
+    if do_sort:
+        perm = _sort_perm_packed(clusters, o, d, tmin_b, tmax_b)
+        g = lambda a: a[perm]
+        o = Vec3(g(o.x), g(o.y), g(o.z))
+        d = Vec3(g(d.x), g(d.y), g(d.z))
+        tmin_b, tmax_b = g(tmin_b), g(tmax_b)
+    occ = _any_impl(
+        clusters.tri, _boxes(clusters), (o.x, o.y, o.z), (d.x, d.y, d.z),
+        tmin_b, tmax_b, block, k_wide
+    )
+    if do_sort:
+        _p, occ_i = jax.lax.sort((perm, occ.astype(jnp.int32)),
+                                 dimension=0, num_keys=1)
+        occ = occ_i > 0
+    return occ
 
 
 def trace_any_frontier(
@@ -614,18 +654,7 @@ def trace_any_frontier(
     if active is not None:
         tmax_b = jnp.where(active, tmax_b, -1.0)
     do_sort = sort and n >= 4 * block
-    if do_sort:
-        perm = _sort_perm_packed(clusters, o, d, tmin_b, tmax_b)
-        g = lambda a: a[perm]
-        o = Vec3(g(o.x), g(o.y), g(o.z))
-        d = Vec3(g(d.x), g(d.y), g(d.z))
-        tmin_b, tmax_b = g(tmin_b), g(tmax_b)
-    occ = _any_impl(
-        clusters.tri, _boxes(clusters), (o.x, o.y, o.z), (d.x, d.y, d.z),
-        tmin_b, tmax_b, block, k_wide
-    )
-    if do_sort:
-        occ = jnp.zeros_like(occ).at[perm].set(occ)
+    occ = _any_full(clusters, o, d, tmin_b, tmax_b, block, k_wide, do_sort)
     if active is not None:
         occ = occ & active
     return occ

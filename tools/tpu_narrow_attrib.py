@@ -87,4 +87,23 @@ for b in range(1, opts.max_path_length):
 t0 = time.perf_counter()
 acc = jax.block_until_ready(drv._get_finish(w)(carry, acc))
 print(f"finish: {time.perf_counter()-t0:.2f}s", flush=True)
+
+if "--profile" in sys.argv:
+    # device-op decomposition of the FULL-WIDTH bounce-1 segment
+    import tempfile
+
+    from fermat_tpu.utils.profiling import op_breakdown
+
+    carry1 = jax.block_until_ready(drv._seg0(jnp.uint32(4)))
+    seg = drv._get_seg(drv.n)
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            jax.block_until_ready(
+                seg(carry1, jnp.uint32(1), jnp.uint32(4)))
+        rows = op_breakdown(td, top=25)
+        total = sum(ms for _n, ms, _c in op_breakdown(td, top=100000))
+        print(f"\nbounce-1 segment device total {total:.0f} ms; top 25:",
+              flush=True)
+        for name, ms, cnt in rows:
+            print(f"  {ms:8.1f} ms  x{cnt:4d}  {name[:100]}", flush=True)
 print("DONE", flush=True)

@@ -49,8 +49,8 @@ from fermat_tpu.ops.pallas_frontier_trace import (
 from fermat_tpu.scene.procedural import big_room
 
 _BIG = 3.0e38
-BLK = 128
-K = 4
+BLK = int(__import__('sys').argv[1]) if len(__import__('sys').argv)>1 else 128
+K = int(__import__('sys').argv[2]) if len(__import__('sys').argv)>2 else 4
 
 
 def _kernel(

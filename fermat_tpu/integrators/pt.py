@@ -330,7 +330,11 @@ def _pick_tracers(view: SceneView, opts: PTOptions):
             o, d, tmin, tmax, active = _detach_args(o, d, tmin, tmax, active)
             return _detach_hit(
                 trace_closest_frontier(view.clusters, o, d, tmin, tmax,
-                                       active))
+                                       active, with_uv=False))
+
+        # the PT bounce derives (u, v) from its own shade-row fetch
+        # (mesh.shade_fetch_ray) — hit.u/v from this closure are zeros
+        closest.uv_from_ray = True
     elif mode == "pallas":
         from fermat_tpu.ops.pallas_trace import trace_closest_pallas
 
@@ -636,9 +640,15 @@ def render_pass(
         # fused one-row shade fetch: geometry + material + lod in a single
         # table lookup (PERF_ATTRIB "Remaining hot spots": the three
         # separate fetches cost 3.4 + 2.3 + 1.5 ms/bounce at 512^2)
-        pos, gn, sn, uv, mat_id, lod_base, mats = view.mesh.shade_fetch(
-            tri_c, hit.u, hit.v, table=shade_tab
-        )
+        if getattr(closest, "uv_from_ray", False):
+            # tracer skipped its uv gather; barycentrics come from the
+            # shade row itself (round 5 — saves a (Nt, 16) gather/trace)
+            pos, gn, sn, uv, mat_id, lod_base, mats, _u, _v = (
+                view.mesh.shade_fetch_ray(tri_c, c.o, c.d, table=shade_tab))
+        else:
+            pos, gn, sn, uv, mat_id, lod_base, mats = view.mesh.shade_fetch(
+                tri_c, hit.u, hit.v, table=shade_tab
+            )
         wi = -c.d  # towards the previous vertex
 
         # flip shading frame to the ray side of the geometric surface
@@ -1268,22 +1278,35 @@ class NarrowPass:
 
     # -- program builders (cached per static width) --
 
-    def _fold(self, c: Carry, acc: _Accum) -> Tuple[Carry, _Accum]:
+    def _fold(self, c: Carry, acc: _Accum,
+              identity: bool = False) -> Tuple[Carry, _Accum]:
         """Scatter-add every lane's radiance into the full-width
         accumulators and zero the lane copies (lane0 is unique among
-        real lanes; compaction fill-lanes carry zeros)."""
-        lane = c.lane0
+        real lanes; compaction fill-lanes carry zeros).
 
-        def addv(dst: Vec3, src: Vec3) -> Vec3:
-            return Vec3(dst.x.at[lane].add(src.x),
-                        dst.y.at[lane].add(src.y),
-                        dst.z.at[lane].add(src.z))
+        identity=True: no compaction has happened yet, so lane order IS
+        pixel order (lane0 == arange) and the 10 full-width scatter-adds
+        (~0.15 s at 1.43M lanes — the entire cost of the first shrink in
+        the round-5 segment profile) collapse to plain elementwise adds."""
+        if identity:
+            addv = lambda dst, src: Vec3(
+                dst.x + src.x, dst.y + src.y, dst.z + src.z)
+            add1 = lambda dst, src: dst + src
+        else:
+            lane = c.lane0
+
+            def addv(dst: Vec3, src: Vec3) -> Vec3:
+                return Vec3(dst.x.at[lane].add(src.x),
+                            dst.y.at[lane].add(src.y),
+                            dst.z.at[lane].add(src.z))
+
+            add1 = lambda dst, src: dst.at[lane].add(src)
 
         acc = _Accum(
             direct=addv(acc.direct, c.l_direct),
             diffuse=addv(acc.diffuse, c.l_diffuse),
             specular=addv(acc.specular, c.l_specular),
-            rays_lane=acc.rays_lane.at[lane].add(c.rays_lane),
+            rays_lane=add1(acc.rays_lane, c.rays_lane),
         )
         w = c.alive.shape[0]
         z3 = Vec3.zeros((w,))
@@ -1291,14 +1314,15 @@ class NarrowPass:
                        rays_lane=jnp.zeros(w, jnp.float32))
         return c, acc
 
-    def _shrink_body(self, c: Carry, acc: _Accum, wp: int):
+    def _shrink_body(self, c: Carry, acc: _Accum, wp: int,
+                     identity: bool = False):
         """Fold radiance out, then compact live lanes into a wp-wide
         carry. Returns (carry', acc', kept): kept is False iff live lanes
         were DROPPED (live > wp) — only possible under a speculative
         fused schedule, where the caller discards the pass and falls
         back to the exact dynamic loop."""
         w = c.alive.shape[0]
-        c, acc = self._fold(c, acc)
+        c, acc = self._fold(c, acc, identity=identity)
         cnt = jnp.sum(c.alive.astype(jnp.int32))
         idx = jnp.nonzero(c.alive, size=wp, fill_value=0)[0]
 
@@ -1312,11 +1336,12 @@ class NarrowPass:
         valid = jnp.arange(wp, dtype=jnp.int32) < cnt
         return c2._replace(alive=c2.alive & valid), acc, cnt <= wp
 
-    def _get_shrink(self, w: int, wp: int):
-        key = (w, wp)
+    def _get_shrink(self, w: int, wp: int, identity: bool = False):
+        key = (w, wp, identity)
         if key not in self._shrink:
             self._shrink[key] = jax.jit(
-                lambda c, acc: self._shrink_body(c, acc, wp)[:2],
+                lambda c, acc: self._shrink_body(
+                    c, acc, wp, identity=identity)[:2],
                 **self._donate_acc)
         return self._shrink[key]
 
@@ -1329,11 +1354,13 @@ class NarrowPass:
             self._seg[w] = jax.jit(fn, **self._donate_carry)
         return self._seg[w]
 
-    def _get_finish(self, w: int):
-        if w not in self._finish:
-            self._finish[w] = jax.jit(
-                lambda c, acc: self._fold(c, acc)[1], **self._donate_acc)
-        return self._finish[w]
+    def _get_finish(self, w: int, identity: bool = False):
+        key = (w, identity)
+        if key not in self._finish:
+            self._finish[key] = jax.jit(
+                lambda c, acc: self._fold(c, acc, identity=identity)[1],
+                **self._donate_acc)
+        return self._finish[key]
 
     def _bucket(self, live: int) -> int:
         # power-of-2 widths: always a Pallas-block multiple once >= the
@@ -1387,6 +1414,7 @@ class NarrowPass:
         g = self._grab_g(carry)
         acc = self._zero_acc()
         w = self.n
+        identity = True  # lane order == pixel order until first compact
         self.last_profile = []  # (bounce, live, width) — attribution aid
         for b in range(1, self.opts.max_path_length):
             live = int(jax.device_get(jnp.sum(carry.alive, dtype=jnp.int32)))
@@ -1394,14 +1422,15 @@ class NarrowPass:
                 break
             wp = self._bucket(live)
             if wp < w:
-                carry, acc = self._get_shrink(w, wp)(carry, acc)
+                carry, acc = self._get_shrink(w, wp, identity)(carry, acc)
                 w = wp
+                identity = False
             self.last_profile.append((b, live, w))
             carry = self._get_seg(w)(
                 carry, jnp.asarray(b, jnp.uint32),
                 jnp.asarray(instance, jnp.uint32))
         rays = carry.rays
-        acc = self._get_finish(w)(carry, acc)
+        acc = self._get_finish(w, identity)(carry, acc)
         return self._assemble(acc, g, rays)
 
     def __call__(self, instance) -> _PassOutput:

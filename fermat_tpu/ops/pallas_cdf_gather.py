@@ -70,7 +70,11 @@ def cdf_pick_rows(rows: Array, cdf: Array, u: Array) -> Array:
         from fermat_tpu.ops.gather import gather_rows
 
         return gather_rows(rows, tri)
-    cp = -(-c // 128) * 128
+    # pad C to 32, not 128: the out array is (N, Cp) f32 in HBM, and at
+    # N=1.43M the 128-wide padding wrote 734 MB per call (~40 ms of pure
+    # HBM traffic) for 23 useful columns. Mosaic handles 32-lane blocks
+    # (VMEM-padded internally); HBM transfers stay dense at 128 B/row.
+    cp = max(32, -(-c // 32) * 32)
     rows_p = jnp.pad(rows, ((0, lp - l), (0, cp - c)))
     cdf_p = jnp.pad(cdf, (0, lp - l), constant_values=2.0).reshape(1, lp)
     n_pad = -(-n // _BLK) * _BLK

@@ -58,8 +58,8 @@ from fermat_tpu.ops.pallas_cluster_trace import (
 )
 
 
-def _sort_perm_packed(clusters, o, d, tmin_b, tmax_b):
-    """Coherence permutation with DEAD RAYS (tmax <= tmin: masked-off
+def _sort_key(clusters, o, d, tmin_b, tmax_b):
+    """Coherence sort key with DEAD RAYS (tmax <= tmin: masked-off
     wavefront lanes) packed LAST: a block of dead rays has an all-BIG E
     matrix and exits after one pick, so segregating them makes
     late-bounce traces (mostly dead lanes after RR) nearly free instead
@@ -86,7 +86,25 @@ def _sort_perm_packed(clusters, o, d, tmin_b, tmax_b):
     # blocks, big_room incoherent): block visit unions 73.8 -> 57.8
     # (-22%) vs the round-4 morton-major key; every sort variant tried is
     # in the probe's table.
-    return jnp.argsort((dead << 27) | (octant << 24) | m)
+    return (dead << 27) | (octant << 24) | m
+
+
+def _sort_perm_packed(clusters, o, d, tmin_b, tmax_b):
+    return jnp.argsort(_sort_key(clusters, o, d, tmin_b, tmax_b))
+
+
+def _cosort_rays(clusters, o, d, tmin_b, tmax_b):
+    """ONE multi-operand lax.sort carrying the 8 ray arrays + a perm iota
+    alongside the key: the argsort + 8 separate gathers formulation left
+    8 x ~10 ms kLoop gather fusions per trace call in the segment
+    profile; the co-sort is one ~35-40 ms device sort total."""
+    key = _sort_key(clusters, o, d, tmin_b, tmax_b)
+    iota = jnp.arange(key.shape[0], dtype=jnp.int32)
+    outs = jax.lax.sort(
+        (key, iota, o.x, o.y, o.z, d.x, d.y, d.z, tmin_b, tmax_b),
+        dimension=0, num_keys=1)
+    perm = outs[1]
+    return perm, outs[2:5], outs[5:8], outs[8], outs[9]
 
 Array = jax.Array
 
@@ -552,19 +570,17 @@ def _any_impl(tri, boxes, o, d, tmin, tmax, block: int, k_wide: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "k_wide", "do_sort"))
+    jax.jit, static_argnames=("block", "k_wide", "do_sort", "with_uv"))
 def _closest_full(clusters, o, d, tmin_b, tmax_b, tmax_fill,
-                  block: int, k_wide: int, do_sort: bool):
+                  block: int, k_wide: int, do_sort: bool,
+                  with_uv: bool = True):
     """The WHOLE closest pipeline (sort -> gather -> kernel -> un-permute
     -> uv) under one jit: eager per-stage dispatch cost the round-4
     wrapper ~0.2 s per 1.43M-ray call (tools/tpu_trace_overhead.py);
     fused, the non-kernel stages are ~0.1 s."""
     if do_sort:
-        perm = _sort_perm_packed(clusters, o, d, tmin_b, tmax_b)
-        g = lambda a: a[perm]
-        po = (g(o.x), g(o.y), g(o.z))
-        pd = (g(d.x), g(d.y), g(d.z))
-        ptmin, ptmax = g(tmin_b), g(tmax_b)
+        perm, po, pd, ptmin, ptmax = _cosort_rays(
+            clusters, o, d, tmin_b, tmax_b)
     else:
         po, pd = (o.x, o.y, o.z), (d.x, d.y, d.z)
         ptmin, ptmax = tmin_b, tmax_b
@@ -578,7 +594,14 @@ def _closest_full(clusters, o, d, tmin_b, tmax_b, tmax_fill,
         # a multi-operand lax.sort beats two scatter-sets on hardware
         _p, t, tri = jax.lax.sort((perm, t, tri), dimension=0, num_keys=1)
 
-    u, v = _recompute_uv(clusters, o, d, tri)
+    if with_uv:
+        u, v = _recompute_uv(clusters, o, d, tri)
+    else:
+        # caller derives (u, v) from its own per-hit row fetch (the PT
+        # shade fetch already gathers p0/e1/e2 by the same tri index) —
+        # skipping the (Nt, 16) gather here saves ~20 ms per 1.43M rays
+        u = jnp.zeros_like(t)
+        v = jnp.zeros_like(t)
     missed = tri < 0
     hit = Hit(t=jnp.where(missed, tmax_fill, t), tri=tri, u=u, v=v)
     return hit, visits
@@ -595,11 +618,14 @@ def trace_closest_frontier(
     sort: bool = True,
     return_visits: bool = False,
     k_wide: int = DEF_K,
+    with_uv: bool = True,
 ) -> Hit:
     """Closest-hit over the clustered soup (drop-in for trace_closest).
 
     return_visits=True additionally returns the per-block visit counts —
-    the tracer's work metric, for attribution."""
+    the tracer's work metric, for attribution. with_uv=False skips the
+    barycentric recompute (hit.u/v are zeros) for callers that derive
+    them from their own per-hit row fetch."""
     _check_cp(clusters, block)
     n = o.x.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
@@ -609,7 +635,7 @@ def trace_closest_frontier(
         tmax_b = jnp.where(active, tmax_b, -1.0)
     do_sort = sort and n >= 4 * block
     hit, visits = _closest_full(clusters, o, d, tmin_b, tmax_b, tmax_fill,
-                                block, k_wide, do_sort)
+                                block, k_wide, do_sort, with_uv)
     if return_visits:
         return hit, visits
     return hit
@@ -620,11 +646,10 @@ def trace_closest_frontier(
 def _any_full(clusters, o, d, tmin_b, tmax_b, block: int, k_wide: int,
               do_sort: bool):
     if do_sort:
-        perm = _sort_perm_packed(clusters, o, d, tmin_b, tmax_b)
-        g = lambda a: a[perm]
-        o = Vec3(g(o.x), g(o.y), g(o.z))
-        d = Vec3(g(d.x), g(d.y), g(d.z))
-        tmin_b, tmax_b = g(tmin_b), g(tmax_b)
+        perm, po, pd, tmin_b, tmax_b = _cosort_rays(
+            clusters, o, d, tmin_b, tmax_b)
+        o = Vec3(*po)
+        d = Vec3(*pd)
     occ = _any_impl(
         clusters.tri, _boxes(clusters), (o.x, o.y, o.z), (d.x, d.y, d.z),
         tmin_b, tmax_b, block, k_wide

@@ -70,7 +70,12 @@ class TextureAtlas(NamedTuple):
     # were 5.6 s of the 11.25 s bathroom2 pass, round 4). None = float
     # sources (PFM/HDR), row-gather fallback.
     packed: Optional[Array] = None
-    packed_r: Optional[Array] = None  # row-wrapped right neighbor of packed
+    # (S, 4) u32 wrap-aware bilinear QUAD mirror: column k of row
+    # o + y*w + x holds packed[(x, y)], [(x+1)%w, y], [(x, (y+1)%h)],
+    # [(x+1)%w, (y+1)%h]. A bilinear quad becomes ONE row gather — the
+    # round-5 segment profile showed the four separate 1-D tap gathers
+    # fusing into ~10-32 ms kLoop fusions EACH at 1.43M lanes.
+    packed_q: Optional[Array] = None
 
     @property
     def count(self) -> int:
@@ -119,23 +124,24 @@ class TextureAtlas(NamedTuple):
                     ).astype(np.float32)
         q = np.round(np.clip(flat, 0.0, 1.0) * 255.0)
         packed = None
-        packed_r = None
+        packed_q = None
         if np.abs(flat - q / 255.0).max() <= (0.5 / 255.0) * 1e-3 + 1e-6:
             qi = q.astype(np.uint32)
             pk = (qi[:, 0] | (qi[:, 1] << 8) | (qi[:, 2] << 16)
                   | (qi[:, 3] << 24)).astype(np.uint32)
             packed = j(pk)
-            # row-wrapped right neighbor per level: packed_r[o + y*w + x]
-            # = packed[o + y*w + (x+1)%w] — the (x0,y) and (x1,y) taps of
-            # a bilinear quad become ONE gathered index each (2 gathers
-            # per quad instead of 4)
-            pr = pk.copy()
+            # wrap-aware quad mirror per level: the four corners of the
+            # bilinear quad anchored at (x0, y0) become one 16-B row
+            pq = np.stack([pk, pk, pk, pk], axis=1)
             for ti in range(len(images)):
                 for li in range(int(nl[ti])):
                     o, wl, hl = int(offs[ti, li]), int(ws[ti, li]), int(hs[ti, li])
                     lvl = pk[o:o + wl * hl].reshape(hl, wl)
-                    pr[o:o + wl * hl] = np.roll(lvl, -1, axis=1).reshape(-1)
-            packed_r = j(pr)
+                    pq[o:o + wl * hl, 1] = np.roll(lvl, -1, axis=1).reshape(-1)
+                    pq[o:o + wl * hl, 2] = np.roll(lvl, -1, axis=0).reshape(-1)
+                    pq[o:o + wl * hl, 3] = np.roll(
+                        np.roll(lvl, -1, axis=0), -1, axis=1).reshape(-1)
+            packed_q = j(pq)
         return TextureAtlas(
             texels=j(flat),
             offset=j(offs.astype(np.int32)),
@@ -143,7 +149,7 @@ class TextureAtlas(NamedTuple):
             height=j(hs.astype(np.int32)),
             n_levels=j(nl.astype(np.int32)),
             packed=packed,
-            packed_r=packed_r,
+            packed_q=packed_q,
         )
 
     def _level_fetch(self, tex: Array, level: Array, u: Array, v: Array):
@@ -196,6 +202,10 @@ class TextureAtlas(NamedTuple):
         u, v in [0,1] (wrapped); lod in mip-level units (None -> level 0).
         Returns (N, 4) RGBA.
         """
+        if lod is None and self.packed_q is not None:
+            # LOD-None sampling is bilinear level 0 — identical math to
+            # sample_bilinear0, which takes the one-gather quad path
+            return self.sample_bilinear0(tex, u, v)
         tex_c = jnp.maximum(tex, 0)
         max_l = (self.n_levels[tex_c] - 1).astype(jnp.float32)
         if lod is None:
@@ -217,11 +227,12 @@ class TextureAtlas(NamedTuple):
         (bilinear_texture_lookup, src/texture_view.h:143-179: the
         reference's PT shading always samples LOD 0; its mip chain exists
         but shading never selects levels). Fast path for 8-bit atlases:
-        level-0 metadata rides a one-hot row fetch (MXU) and the quad
-        needs 2 packed gathers (packed + packed_r) instead of 8 float4
-        row gathers."""
+        level-0 metadata rides a one-hot row fetch (MXU) and the whole
+        quad is ONE (S, 4) u32 row gather on the wrap-aware quad mirror
+        (round 5; the previous 2-array form still cost 4 fused 1-D
+        gathers ~10-32 ms each at 1.43M lanes)."""
         tex_c = jnp.maximum(tex, 0)
-        if self.packed is None or self.packed_r is None:
+        if self.packed_q is None:
             rgba = self._level_fetch(tex_c, jnp.zeros_like(tex_c), u, v)
             white = jnp.ones_like(rgba)
             return jnp.where((tex < 0)[:, None], white, rgba)
@@ -243,7 +254,6 @@ class TextureAtlas(NamedTuple):
         ty = (fv - y0)[:, None]
         x0i = jnp.mod(x0.astype(jnp.int32), w)
         y0i = jnp.mod(y0.astype(jnp.int32), h)
-        y1i = jnp.mod(y0i + 1, h)
 
         inv255 = np.float32(1.0 / 255.0)
 
@@ -255,12 +265,11 @@ class TextureAtlas(NamedTuple):
                  ((pv >> 24) & 0xFF).astype(jnp.float32) * inv255],
                 axis=-1)
 
-        i_top = off + y0i * w + x0i
-        i_bot = off + y1i * w + x0i
-        c00 = unpack(self.packed[i_top])
-        c10 = unpack(self.packed_r[i_top])
-        c01 = unpack(self.packed[i_bot])
-        c11 = unpack(self.packed_r[i_bot])
+        quad = self.packed_q[off + y0i * w + x0i]  # (N, 4) u32 — 1 gather
+        c00 = unpack(quad[:, 0])
+        c10 = unpack(quad[:, 1])
+        c01 = unpack(quad[:, 2])
+        c11 = unpack(quad[:, 3])
         rgba = (c00 * (1 - tx) + c10 * tx) * (1 - ty) \
             + (c01 * (1 - tx) + c11 * tx) * ty
         white = jnp.ones_like(rgba)
@@ -273,7 +282,7 @@ _ORIG_ATLAS_REPLACE = TextureAtlas._replace
 def _atlas_replace(self, **kw):
     """NamedTuple._replace override (attached post-class: typing forbids
     in-body overrides). Replacing `texels` drops the RGBA8 mirror
-    (packed/packed_r) unless new ones are passed too: the mirror is a
+    (packed/packed_q) unless new ones are passed too: the mirror is a
     QUANTIZED COPY of the texels built at atlas time, and a stale mirror
     silently wins over updated texels in every fetch — zeroing texture
     gradients and ignoring texel optimization steps (the differentiable-
@@ -281,16 +290,16 @@ def _atlas_replace(self, **kw):
     the float row-gather path when the mirror is absent."""
     if "texels" in kw:
         # the mirror survives only when BOTH halves are explicitly
-        # re-supplied; a lone packed (or packed_r) would pair fresh taps
-        # with stale right-neighbor taps in sample_bilinear0
-        if ("packed" in kw) != ("packed_r" in kw):
+        # re-supplied; a lone packed (or packed_q) would pair fresh taps
+        # with stale quad-neighbor taps in sample_bilinear0
+        if ("packed" in kw) != ("packed_q" in kw):
             raise ValueError(
-                "TextureAtlas._replace: packed and packed_r must be "
+                "TextureAtlas._replace: packed and packed_q must be "
                 "replaced together (the RGBA8 mirror is a pair)"
             )
         if "packed" not in kw:
             kw["packed"] = None
-            kw["packed_r"] = None
+            kw["packed_q"] = None
     return _ORIG_ATLAS_REPLACE(self, **kw)
 
 

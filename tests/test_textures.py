@@ -104,14 +104,14 @@ def test_bilinear0_fast_path_matches_generic():
         (rng.integers(0, 256, (32, 8, 3)) / 255.0).astype(np.float32),
     ]
     at = TextureAtlas.build(imgs)
-    assert at.packed is not None and at.packed_r is not None
+    assert at.packed is not None and at.packed_q is not None
     n = 512
     tex = jnp.asarray(rng.integers(-1, 2, n), jnp.int32)
     u = jnp.asarray(rng.random(n, np.float32) * 2.0 - 0.5)
     v = jnp.asarray(rng.random(n, np.float32) * 2.0 - 0.5)
     fast = np.asarray(at.sample_bilinear0(tex, u, v))
     generic = np.asarray(
-        at._replace(packed=None, packed_r=None).sample_bilinear0(tex, u, v))
+        at._replace(packed=None, packed_q=None).sample_bilinear0(tex, u, v))
     np.testing.assert_allclose(fast, generic, rtol=2e-6, atol=2e-6)
 
 
@@ -129,7 +129,7 @@ def test_replace_texels_drops_packed_mirror():
     at = TextureAtlas.build([img])
     assert at.packed is not None
     up = at._replace(texels=at.texels * 0.5)
-    assert up.packed is None and up.packed_r is None
+    assert up.packed is None and up.packed_q is None
     # the update is actually visible to sampling
     tex = jnp.zeros(4, jnp.int32)
     u = v = jnp.asarray([0.1, 0.4, 0.6, 0.9], jnp.float32)
@@ -138,5 +138,5 @@ def test_replace_texels_drops_packed_mirror():
     np.testing.assert_allclose(b[:, :3], 0.5 * a[:, :3], rtol=1e-6, atol=1e-6)
     # explicit packed taps are kept
     keep = at._replace(texels=at.texels, packed=at.packed,
-                       packed_r=at.packed_r)
+                       packed_q=at.packed_q)
     assert keep.packed is not None

@@ -67,6 +67,7 @@ t_seg0 = time.perf_counter() - t0
 g = drv._grab_g(carry)
 acc = drv._zero_acc()
 w = drv.n
+identity = True
 print(f"bounce 0 (full {drv.n}): {t_seg0:.2f}s", flush=True)
 for b in range(1, opts.max_path_length):
     live = int(jax.device_get(jnp.sum(carry.alive, dtype=jnp.int32)))
@@ -75,8 +76,10 @@ for b in range(1, opts.max_path_length):
     wp = drv._bucket(live)
     t0 = time.perf_counter()
     if wp < w:
-        carry, acc = jax.block_until_ready(drv._get_shrink(w, wp)(carry, acc))
+        carry, acc = jax.block_until_ready(
+            drv._get_shrink(w, wp, identity)(carry, acc))
         w = wp
+        identity = False
     t_shrink = time.perf_counter() - t0
     t0 = time.perf_counter()
     carry = jax.block_until_ready(
@@ -85,7 +88,7 @@ for b in range(1, opts.max_path_length):
     print(f"bounce {b} (w={w}, live={live} {100.0*live/w:.0f}%): "
           f"seg {t_seg:.2f}s  shrink {t_shrink:.2f}s", flush=True)
 t0 = time.perf_counter()
-acc = jax.block_until_ready(drv._get_finish(w)(carry, acc))
+acc = jax.block_until_ready(drv._get_finish(w, identity)(carry, acc))
 print(f"finish: {time.perf_counter()-t0:.2f}s", flush=True)
 
 if "--profile" in sys.argv:

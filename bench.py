@@ -111,27 +111,63 @@ def main() -> None:
     # of the full fwd+bwd step (detached-AD backward re-traces nothing,
     # so forward rays are the honest ray denominator).
     train_mrays = None
+    train_path = None
     try:
         diffuse0 = view.mesh.materials.diffuse
         target = jnp.zeros((res * res, 3), jnp.float32)
 
-        def loss_fn(diffuse, inst):
-            mats = view.mesh.materials._replace(diffuse=diffuse)
-            v = view._replace(mesh=view.mesh._replace(materials=mats))
-            out = render_pass(v, base_opts, res, res, inst)
-            img = out.composited.stack()
-            return jnp.mean((img - target) ** 2), out.rays
+        from fermat_tpu.ops.pallas_pt_mega import (
+            build_mega_tables, mega_grad_eligible, render_grad_diffuse_mega,
+            render_pass_mega,
+        )
 
-        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
-        (loss_v, rays_v), _g = grad_fn(diffuse0, jnp.uint32(0))
-        jax.block_until_ready(loss_v)
-        best_t = float("inf")
-        for rep in range(3):
-            t0 = time.perf_counter()
-            (loss_v, rays_v), _g = grad_fn(diffuse0, jnp.uint32(rep + 1))
+        if mega_grad_eligible(view, base_opts):
+            # round-5 fast path: forward mega pass + replay-gradient
+            # kernel (exact for the detached estimator; parity vs
+            # jax.grad pinned by tests/test_mega_grad.py and
+            # tools/tpu_mega_grad_check.py on hardware)
+            gtb = build_mega_tables(view, res, res, base_opts.ray_eps)
+
+            @jax.jit
+            def train_fn(inst):
+                out = render_pass_mega(view, base_opts, res, res, inst,
+                                       tables=gtb)
+                img = out.composited.stack()
+                loss = jnp.mean((img - target) ** 2)
+                adjoint = 2.0 * (img - target) / (img.shape[0] * 3)
+                grad = render_grad_diffuse_mega(
+                    view, base_opts, res, res, inst, adjoint, tables=gtb)
+                return loss, out.rays, grad
+
+            loss_v, rays_v, _g = train_fn(jnp.uint32(0))
             jax.block_until_ready(loss_v)
-            best_t = min(best_t, time.perf_counter() - t0)
-        train_mrays = float(rays_v) / best_t / 1e6
+            best_t = float("inf")
+            for rep in range(3):
+                t0 = time.perf_counter()
+                loss_v, rays_v, _g = train_fn(jnp.uint32(rep + 1))
+                jax.block_until_ready(loss_v)
+                best_t = min(best_t, time.perf_counter() - t0)
+            train_mrays = float(rays_v) / best_t / 1e6
+            train_path = "replay"
+        else:
+            def loss_fn(diffuse, inst):
+                mats = view.mesh.materials._replace(diffuse=diffuse)
+                v = view._replace(mesh=view.mesh._replace(materials=mats))
+                out = render_pass(v, base_opts, res, res, inst)
+                img = out.composited.stack()
+                return jnp.mean((img - target) ** 2), out.rays
+
+            grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+            (loss_v, rays_v), _g = grad_fn(diffuse0, jnp.uint32(0))
+            jax.block_until_ready(loss_v)
+            best_t = float("inf")
+            for rep in range(3):
+                t0 = time.perf_counter()
+                (loss_v, rays_v), _g = grad_fn(diffuse0, jnp.uint32(rep + 1))
+                jax.block_until_ready(loss_v)
+                best_t = min(best_t, time.perf_counter() - t0)
+            train_mrays = float(rays_v) / best_t / 1e6
+            train_path = "ad"
     except Exception as e:  # noqa: BLE001 — keep the primary alive
         print(f"train-step bench skipped: {e}", file=sys.stderr, flush=True)
 
@@ -192,6 +228,7 @@ def main() -> None:
     line["primary_path"] = mode
     if train_mrays is not None:
         line["train_mrays"] = round(train_mrays, 2)
+        line["train_path"] = train_path
     line.update(secondaries)
     print(json.dumps(line))
 

@@ -323,6 +323,28 @@ def f_split(
     return fd, fg, mix_pdf
 
 
+def diffuse_refl_unit(
+    p: BsdfParams, wi: Vec3, wo: Vec3, clearcoat: bool = False,
+    e_fn=None, lobes=ALL_LOBES,
+) -> Vec3:
+    """d f / d p.diffuse — the diffuse-reflection lobe with the albedo
+    factored out. f_split's fd is EXACTLY linear in p.diffuse
+    (fd = diffuse * [INV_PI * w_d] (+ diffuse_trans * ...), and
+    component_weights does not read p.diffuse), so this is the exact
+    per-channel partial derivative the mega replay-gradient kernel
+    (ops/pallas_pt_mega.py) accumulates. Channels differ only under
+    clearcoat (the 1-Fc coat transmission is chromatic)."""
+    _r, w_d, _w_dt, _w_gt = component_weights(p, wi, wo, e_fn)
+    same = (wi.z * wo.z) > 0.0
+    zero = jnp.zeros_like(w_d)
+    f_dr = jnp.where(same, INV_PI, 0.0) * w_d if lobes[0] else zero
+    if clearcoat:
+        tc = clearcoat_fresnel(p, wi)
+        return Vec3(f_dr * (1.0 - tc.x), f_dr * (1.0 - tc.y),
+                    f_dr * (1.0 - tc.z))
+    return Vec3(f_dr, f_dr, f_dr)
+
+
 class BsdfSample(NamedTuple):
     wo: Vec3  # sampled direction (local frame)
     f: Vec3  # composite BSDF value

@@ -731,6 +731,344 @@ def _mega_impl(tri, mat, light, cam, seq_tab, n: int,
     return tuple(o.reshape(n_pad)[:n] for o in outs)
 
 
+# ---------------------------------------------------------------------------
+# Replay-gradient kernel (round 5): d loss / d material diffuse albedo
+# ---------------------------------------------------------------------------
+
+GRAD_M_MAX = 16  # per-material replay state is O(M) vregs
+
+
+def _safe_inv(x):
+    return jnp.where(x > 0.0, 1.0 / jnp.where(x <= 0.0, 1.0, x), 0.0)
+
+
+def _mega_grad_kernel(
+    pix_ref, ax_ref, ay_ref, az_ref,
+    tri_ref, mat_ref, light_ref, cam_ref, seq_ref,
+    gout_ref,
+    *, n_tris: int, n_mats: int, n_lights: int, res_x: int, opts,
+):
+    """Replay pass accumulating dL/d diffuse_{m,c} for the DETACHED
+    estimator, given the per-pixel adjoint A = dL/d composited.
+
+    Why this works: with detached sampling every radiance term T is a
+    polynomial in the diffuse albedos — a product of per-vertex factors
+    in which the albedo enters only linearly through the diffuse lobe
+    (fd = a * K, bsdf/composite.diffuse_refl_unit). So
+    dT/da_{m,c} = T_c * U_{m,c}, where U accumulates K_c/f_c over the
+    path's vertices at material m (plus the NEE vertex's local factor).
+    The kernel replays the EXACT forward paths (same QMC sequence,
+    same RR) and accumulates G = sum_terms A*T*U per (m, c) — no AD
+    graph, no residuals, mega-kernel speed. Gradients match
+    jax.grad of the XLA pipeline (tests/test_mega_grad.py).
+
+    Known limit (shared with any log-derivative replay): a term whose
+    per-channel f is exactly 0 at some vertex contributes 0 instead of
+    its (possibly nonzero) derivative through that vertex — only
+    reachable when BOTH the diffuse channel and glossy channel are
+    exactly 0 there. Clearcoat is gated off (delta-lobe g is not
+    f-linear)."""
+    pix = pix_ref[:]
+    shape = pix.shape
+    adj = Vec3(ax_ref[:], ay_ref[:], az_ref[:])
+    seed = seq_ref[0, 0, :].reshape(1, 128)
+    inst = seq_ref[0, 1, :].reshape(1, 128)
+    n_valid = seq_ref[0, 3, :].reshape(1, 128)
+    seq = TiledSequence(seed=seed, instance=inst)
+
+    eye = _vec(cam_ref, 0, 0)
+    cam_u = _vec(cam_ref, 0, 3)
+    cam_v = _vec(cam_ref, 0, 6)
+    cam_w = _vec(cam_ref, 0, 9)
+    env = (_row(cam_ref, 0, 12), _row(cam_ref, 0, 13), _row(cam_ref, 0, 14))
+    eps = _row(cam_ref, 0, 15)
+    inv_rx = _row(cam_ref, 0, 17)
+    inv_ry = _row(cam_ref, 0, 18)
+
+    jx, jy = seq.sample_2d(pix, jnp.uint32(0))
+    pxf = (pix % jnp.uint32(res_x)).astype(jnp.int32).astype(jnp.float32)
+    pyf = (pix // jnp.uint32(res_x)).astype(jnp.int32).astype(jnp.float32)
+    ndc_x = (pxf + jx) * inv_rx
+    ndc_y = (pyf + jy) * inv_ry
+    dx_c = ndc_x * 2.0 - 1.0
+    dy_c = ndc_y * 2.0 - 1.0
+    d0 = normalize(Vec3(
+        dx_c * cam_u.x + dy_c * cam_v.x + cam_w.x,
+        dx_c * cam_u.y + dy_c * cam_v.y + cam_w.y,
+        dx_c * cam_u.z + dy_c * cam_v.z + cam_w.z,
+    ))
+    bz = lambda a: jnp.broadcast_to(a, shape)
+    o0 = Vec3(bz(eye.x), bz(eye.y), bz(eye.z))
+    d0 = Vec3(bz(d0.x), bz(d0.y), bz(d0.z))
+    alive0 = pix < n_valid
+
+    zero = jnp.zeros(shape, jnp.float32)
+    z3 = Vec3(zero, zero, zero)
+    stride = jnp.uint32(opts.dims_per_bounce)
+    M = n_mats
+
+    from fermat_tpu.bsdf.composite import diffuse_refl_unit
+
+    def shade_bounce(first, b, c):
+        o, d, thr, alive_f, prev_pdf = c[:5]
+        U = c[5:5 + M]          # per-material Vec3: d log thr / d a
+        G = c[5 + M:5 + 2 * M]  # per-material Vec3: gradient accumulator
+        U = list(U)
+        G = list(G)
+        alive = alive_f > 0.0
+        t_lim = jnp.where(alive, _BIG, -1.0)
+        valid, ht, pos, gn, sn, uv, midf, pdf_area_hit = _trace_closest(
+            tri_ref, n_tris, o, d, eps, t_lim
+        )
+        valid = valid & alive
+        missed = alive & ~valid
+
+        # env-miss term: T = thr * env
+        selx = jnp.where(missed, adj.x * thr.x * env[0], 0.0)
+        sely = jnp.where(missed, adj.y * thr.y * env[1], 0.0)
+        selz = jnp.where(missed, adj.z * thr.z * env[2], 0.0)
+        for m in range(M):
+            G[m] = Vec3(G[m].x + selx * U[m].x, G[m].y + sely * U[m].y,
+                        G[m].z + selz * U[m].z)
+
+        wi = Vec3(-d.x, -d.y, -d.z)
+        flip = jnp.where(dot(gn, wi) < 0.0, -1.0, 1.0)
+        gn_f = Vec3(gn.x * flip, gn.y * flip, gn.z * flip)
+        sn_f = Vec3(sn.x * flip, sn.y * flip, sn.z * flip)
+        t_b, b_b = orthonormal_basis(sn_f)
+        wi_loc = to_local(wi, t_b, b_b, sn_f)
+        params, emissive, e_fn = _fetch_materials(mat_ref, n_mats, midf)
+        mk = [valid & (jnp.abs(midf - float(m)) < 0.5) for m in range(M)]
+
+        # emissive term: T = thr * le * w_mis (no local albedo factor)
+        show = opts.visible_lights if first else (
+            opts.direct_lighting_bsdf or opts.indirect_lighting_bsdf
+        )
+        if show:
+            front_e = dot(gn, wi) > 0.0
+            le = Vec3(
+                jnp.where(front_e, emissive.x, 0.0),
+                jnp.where(front_e, emissive.y, 0.0),
+                jnp.where(front_e, emissive.z, 0.0),
+            )
+            if first:
+                w_mis = jnp.ones(shape, jnp.float32)
+            else:
+                is_direct = jnp.asarray(b, jnp.int32) == 1
+                t_safe = jnp.where(valid, ht, 1.0)
+                dist2 = t_safe * t_safe
+                cos_l = jnp.abs(dot(gn, wi))
+                pdf_sa = pdf_area_hit * dist2 / jnp.maximum(cos_l, 1e-8)
+                w_pow = power_heuristic(prev_pdf, pdf_sa)
+                nee_mask = jnp.where(
+                    is_direct, opts.direct_lighting_nee,
+                    opts.indirect_lighting_nee)
+                w_mis = jnp.where(nee_mask, w_pow, 1.0)
+                show_mask = jnp.where(
+                    is_direct, opts.direct_lighting_bsdf,
+                    opts.indirect_lighting_bsdf)
+                w_mis = w_mis * show_mask.astype(jnp.float32)
+            ex = jnp.where(valid, adj.x * thr.x * le.x * w_mis, 0.0)
+            ey = jnp.where(valid, adj.y * thr.y * le.y * w_mis, 0.0)
+            ez = jnp.where(valid, adj.z * thr.z * le.z * w_mis, 0.0)
+            for m in range(M):
+                G[m] = Vec3(G[m].x + ex * U[m].x, G[m].y + ey * U[m].y,
+                            G[m].z + ez * U[m].z)
+
+        # NEE term
+        base_dim = jnp.uint32(2) + jnp.asarray(b, jnp.uint32) * stride
+        nee_on = (opts.direct_lighting_nee if first
+                  else opts.indirect_lighting_nee)
+        if nee_on and n_lights > 0:
+            ul0, ul1, ul2 = seq.sample_3d(pix, base_dim)
+            lpos, ln, lle, lpdf_a = _sample_light(
+                light_ref, n_lights, ul0, ul1, ul2
+            )
+            to_l = Vec3(lpos.x - pos.x, lpos.y - pos.y, lpos.z - pos.z)
+            dist2 = jnp.maximum(dot(to_l, to_l), 1e-12)
+            dist = jnp.sqrt(dist2)
+            wo = Vec3(to_l.x / dist, to_l.y / dist, to_l.z / dist)
+            cos_l = dot(ln, Vec3(-wo.x, -wo.y, -wo.z))
+            wo_loc = to_local(wo, t_b, b_b, sn_f)
+            fd, fg, bsdf_pdf = f_split(
+                params, wi_loc, wo_loc, opts.lobes, opts.clearcoat,
+                opts.glossy_model, e_fn=e_fn)
+            pdf_sa = lpdf_a * dist2 / jnp.maximum(jnp.abs(cos_l), 1e-8)
+            bsdf_on = (opts.direct_lighting_bsdf if first
+                       else opts.indirect_lighting_bsdf)
+            w_mis = (power_heuristic(pdf_sa, bsdf_pdf) if bsdf_on
+                     else jnp.ones(shape, jnp.float32))
+            cos_s = jnp.abs(wo_loc.z)
+            able = (
+                valid & (cos_l > 1e-6) & (pdf_sa > 1e-12)
+                & ((fd.x + fd.y + fd.z + fg.x + fg.y + fg.z) > 0.0)
+            )
+            so = _offset_origin(pos, gn, wo, eps)
+            occluded = _trace_any(
+                tri_ref, n_tris, so, wo, jnp.zeros(shape, jnp.float32),
+                jnp.where(able, dist * (1.0 - 1e-3), -1.0), able,
+            )
+            lit = able & ~occluded
+            scale = cos_s * w_mis / jnp.maximum(pdf_sa, 1e-12)
+            wX = thr.x * lle.x * scale
+            wY = thr.y * lle.y * scale
+            wZ = thr.z * lle.z * scale
+            kd = diffuse_refl_unit(params, wi_loc, wo_loc,
+                                   opts.clearcoat, e_fn, opts.lobes)
+            ftx, fty, ftz = fd.x + fg.x, fd.y + fg.y, fd.z + fg.z
+            nx = jnp.where(lit, adj.x * ftx * wX, 0.0)
+            ny = jnp.where(lit, adj.y * fty * wY, 0.0)
+            nz = jnp.where(lit, adj.z * ftz * wZ, 0.0)
+            # local factor: dT/da at THIS vertex = T * kd/f_tot
+            lx = nx * kd.x * _safe_inv(ftx)
+            ly = ny * kd.y * _safe_inv(fty)
+            lz = nz * kd.z * _safe_inv(ftz)
+            for m in range(M):
+                mkf = mk[m]
+                G[m] = Vec3(
+                    G[m].x + nx * U[m].x + jnp.where(mkf, lx, 0.0),
+                    G[m].y + ny * U[m].y + jnp.where(mkf, ly, 0.0),
+                    G[m].z + nz * U[m].z + jnp.where(mkf, lz, 0.0),
+                )
+
+        # BSDF scatter + RR (identical replay) + U update
+        ub0, ub1, ub2 = seq.sample_3d(pix, base_dim + jnp.uint32(3))
+        s = bsdf_sample(params, wi_loc, ub0, ub1, ub2, opts.lobes,
+                        opts.clearcoat, opts.glossy_model, e_fn=e_fn)
+        wo_world = to_world(s.wo, t_b, b_b, sn_f)
+        new_thr = Vec3(thr.x * s.g.x, thr.y * s.g.y, thr.z * s.g.z)
+        new_alive = valid & s.valid & ((s.g.x + s.g.y + s.g.z) > 0.0)
+
+        if opts.rr and not first:
+            u_rr = seq.sample_1d(pix, base_dim + jnp.uint32(6))
+            rr_on = jnp.asarray(b, jnp.int32) >= opts.rr_start_bounce
+            q = jnp.clip(
+                jnp.maximum(jnp.maximum(new_thr.x, new_thr.y), new_thr.z),
+                0.05, 1.0)
+            q = jnp.where(rr_on, q, 1.0)
+            keep = u_rr < q
+            new_alive = new_alive & keep
+            inv_q = 1.0 / q
+            new_thr = Vec3(new_thr.x * inv_q, new_thr.y * inv_q,
+                           new_thr.z * inv_q)
+
+        # d log(thr * s.g)/da at this vertex: kd(wo_sampled)/f(wo_sampled)
+        kd_s = diffuse_refl_unit(params, wi_loc, s.wo,
+                                 opts.clearcoat, e_fn, opts.lobes)
+        rx = kd_s.x * _safe_inv(s.f.x)
+        ry = kd_s.y * _safe_inv(s.f.y)
+        rz = kd_s.z * _safe_inv(s.f.z)
+        for m in range(M):
+            mkf = mk[m] & new_alive
+            U[m] = Vec3(U[m].x + jnp.where(mkf, rx, 0.0),
+                        U[m].y + jnp.where(mkf, ry, 0.0),
+                        U[m].z + jnp.where(mkf, rz, 0.0))
+
+        new_thr = Vec3(
+            jnp.where(new_alive, new_thr.x, 0.0),
+            jnp.where(new_alive, new_thr.y, 0.0),
+            jnp.where(new_alive, new_thr.z, 0.0),
+        )
+        new_o = _offset_origin(pos, gn, wo_world, eps)
+        return (new_o, wo_world, new_thr,
+                jnp.where(new_alive, 1.0, 0.0), s.pdf,
+                *U, *G)
+
+    carry = (
+        o0, d0, Vec3(jnp.ones(shape), jnp.ones(shape), jnp.ones(shape)),
+        jnp.where(alive0, 1.0, 0.0), zero,
+        *([z3] * M), *([z3] * M),
+    )
+    carry = shade_bounce(True, 0, carry)
+    if opts.max_path_length > 1:
+        def body(b, cc):
+            return shade_bounce(False, b, cc)
+
+        carry = jax.lax.fori_loop(1, opts.max_path_length, body, carry)
+
+    G = carry[5 + M:5 + 2 * M]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row = jnp.zeros((1, 128), jnp.float32)
+    for m in range(M):
+        for ci, comp in enumerate((G[m].x, G[m].y, G[m].z)):
+            s_mc = jnp.sum(comp)
+            row = row + jnp.where(lane == (3 * m + ci), s_mc, 0.0)
+    # Mosaic requires (8, 128) output blocks: replicate the row across
+    # sublanes; the wrapper reads sublane 0 of each block
+    gout_ref[:] = jnp.broadcast_to(row, (_RB, 128))
+
+
+def mega_grad_eligible(view, opts) -> bool:
+    """Replay-gradient gate: mega_eligible AND no clearcoat (delta coat
+    g is not f-linear) AND material count within the O(M) state cap."""
+    if not mega_eligible(view, opts):
+        return False
+    if getattr(opts, "clearcoat", False):
+        return False
+    return int(view.mesh.materials.count) <= GRAD_M_MAX
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_tris", "n_mats", "n_lights", "res_x", "opts", "n"),
+)
+def _mega_grad_impl(tri, mat, light, cam, seq_tab, adjoint, n: int,
+                    n_tris: int, n_mats: int, n_lights: int, res_x: int,
+                    opts):
+    rays_per_block = _RB * 128
+    n_pad = -(-n // rays_per_block) * rays_per_block
+    r_total = n_pad // 128
+    g = r_total // _RB
+    pix = jnp.arange(n_pad, dtype=jnp.uint32).reshape(r_total, 128)
+    adj = jnp.pad(adjoint, ((0, n_pad - n), (0, 0)))
+    ax = adj[:, 0].reshape(r_total, 128)
+    ay = adj[:, 1].reshape(r_total, 128)
+    az = adj[:, 2].reshape(r_total, 128)
+
+    blk = pl.BlockSpec((_RB, 128), lambda i: (i, 0))
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    gout = pl.pallas_call(
+        functools.partial(
+            _mega_grad_kernel, n_tris=n_tris, n_mats=n_mats,
+            n_lights=n_lights, res_x=res_x, opts=opts,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g * _RB, 128), jnp.float32),
+        grid=(g,),
+        in_specs=[blk, blk, blk, blk, full(tri), full(mat), full(light),
+                  full(cam), full(seq_tab)],
+        out_specs=pl.BlockSpec((_RB, 128), lambda i: (i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_interpret(),
+    )(pix, ax, ay, az, tri, mat, light, cam, seq_tab)
+    summed = jnp.sum(gout.reshape(g, _RB, 128)[:, 0, :], axis=0)  # (128,)
+    return summed[: 3 * n_mats].reshape(n_mats, 3)
+
+
+def render_grad_diffuse_mega(view, opts, res_x: int, res_y: int, instance,
+                             adjoint, seed: int = 0,
+                             tables: MegaTables = None):
+    """d loss / d materials.diffuse — (M, 3) — for loss with per-pixel
+    adjoint dL/d composited = `adjoint` ((N, 3) f32). Replays the exact
+    paths of render_pass_mega(view, opts, res_x, res_y, instance, seed)."""
+    tb = tables if tables is not None else build_mega_tables(
+        view, res_x, res_y, opts.ray_eps
+    )
+    n = res_x * res_y
+    seq_row = np.zeros((1, 8, 128), np.uint32)
+    seq_tab = jnp.asarray(seq_row)
+    seq_tab = seq_tab.at[0, 0, :].set(jnp.uint32(seed))
+    seq_tab = seq_tab.at[0, 1, :].set(jnp.asarray(instance, jnp.uint32))
+    seq_tab = seq_tab.at[0, 2, :].set(jnp.uint32(res_x))
+    seq_tab = seq_tab.at[0, 3, :].set(jnp.uint32(n))
+    return _mega_grad_impl(
+        tb.tri, tb.mat, tb.light, tb.cam, seq_tab,
+        jnp.asarray(adjoint, jnp.float32), n,
+        tb.n_tris, tb.n_mats, tb.n_lights, res_x, opts,
+    )
+
+
 def render_pass_mega(view, opts, res_x: int, res_y: int, instance,
                      seed: int = 0, tables: MegaTables = None):
     """One progressive pass through the fused megakernel.

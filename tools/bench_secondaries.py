@@ -132,6 +132,63 @@ def run_integrator(which: str) -> dict:
     return {"mlt_caustic512_Mmut_s": round(muts / best / 1e6, 3)}
 
 
+def run_train_textured() -> dict:
+    """Differentiable path on a TEXTURED large-scene workload (VERDICT r4
+    #3: 'no committed artifact trains on a textured/large scene at all').
+    bathroom2 stand-in at 800x448 through the XLA pipeline's reverse-mode
+    AD (the frontier tracer + texture modulation in the loss graph),
+    gradient w.r.t. material diffuse albedo. Also records the forward
+    time so ROOFLINE can state the fwd:bwd ratio."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fermat_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from fermat_tpu.bsdf.composite import scene_lobes
+    from fermat_tpu.integrators.pt import PTOptions, render_pass
+    from fermat_tpu.scene.procedural import bathroom_standin
+    from fermat_tpu.scene.view import SceneView
+
+    mesh, cam, tdir = bathroom_standin(n_boxes=8300)
+    view = SceneView.build(mesh, cam, texture_dir=tdir)
+    rx, ry = 800, 448
+    opts = PTOptions(max_path_length=4, lobes=scene_lobes(mesh.materials),
+                     tracer="frontier")
+    target = jnp.zeros((rx * ry, 3), jnp.float32)
+    diffuse0 = view.mesh.materials.diffuse
+
+    def loss_fn(diffuse, inst):
+        mats = view.mesh.materials._replace(diffuse=diffuse)
+        v = view._replace(mesh=view.mesh._replace(materials=mats))
+        out = render_pass(v, opts, rx, ry, inst)
+        img = out.composited.stack()
+        return jnp.mean((img - target) ** 2), out.rays
+
+    fwd_fn = jax.jit(loss_fn)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    (lv, rv), _g = grad_fn(diffuse0, jnp.uint32(0))
+    jax.block_until_ready(lv)
+    l2, _r2 = fwd_fn(diffuse0, jnp.uint32(0))
+    jax.block_until_ready(l2)
+    tf = 1e30
+    tg = 1e30
+    for rep in (1, 2):
+        t0 = time.perf_counter()
+        l2, _r2 = fwd_fn(diffuse0, jnp.uint32(rep))
+        jax.block_until_ready(l2)
+        tf = min(tf, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        (lv, rv), _g = grad_fn(diffuse0, jnp.uint32(rep))
+        jax.block_until_ready(lv)
+        tg = min(tg, time.perf_counter() - t0)
+    return {
+        "train_mrays_textured": round(float(rv) / tg / 1e6, 3),
+        "train_textured_fwd_ms": round(tf * 1e3, 1),
+        "train_textured_fwdbwd_ms": round(tg * 1e3, 1),
+    }
+
+
 def attempt_integrator(which: str, budget_s: float) -> dict | None:
     try:
         r = subprocess.run(
@@ -182,6 +239,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--integrator":
         print(json.dumps(run_integrator(sys.argv[2])), flush=True)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--train-textured":
+        print(json.dumps(run_train_textured()), flush=True)
+        return
     # budget: stay under bench.py's 1500 s subprocess timeout with margin,
     # and print the partial JSON line after EVERY completed stage so a
     # parent-side timeout still salvages finished results (bench.py parses
@@ -215,6 +275,27 @@ def main() -> None:
         if r is not None:
             out.update(r)
             print(json.dumps(out), flush=True)
+    # textured differentiable path (VERDICT r4 #3)
+    remaining = deadline - time.time()
+    if remaining > 150.0:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--train-textured"],
+                capture_output=True, text=True, timeout=remaining,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                out.update(json.loads(r.stdout.strip().splitlines()[-1]))
+                print(json.dumps(out), flush=True)
+            else:
+                print(f"train-textured rc={r.returncode}",
+                      file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"train-textured failed: {e}", file=sys.stderr,
+                  flush=True)
+    else:
+        print("train-textured skipped: budget exhausted", file=sys.stderr,
+              flush=True)
     print(json.dumps(out), flush=True)
 
 

@@ -115,6 +115,14 @@ def main() -> int:
             print(f"checkpoint {spp} spp ({time.time()-t0:.0f}s)",
                   flush=True)
             nxt *= 2
+            # crash/kill insurance: every checkpoint lands on disk, so a
+            # budget-killed run salvages its deepest checkpoint as the
+            # golden (tools/salvage_convergence.py rebuilds the table)
+            np.savez_compressed(
+                f"/tmp/conv_ckpt_{args.scene}_{args.res}.npz",
+                **{str(s): v.astype(np.float32)
+                   for s, v in checkpoints.items()},
+                wall=np.float64(time.time() - t0))
 
     golden = checkpoints[args.spp]
     lines = [

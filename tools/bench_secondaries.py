@@ -189,6 +189,58 @@ def run_train_textured() -> dict:
     }
 
 
+def run_bigscene() -> dict:
+    """600k-triangle trace stage (VERDICT r4 #2: the lifted Cp ceiling on
+    the committed BENCH record, not just ROOFLINE). Mirrors
+    tools/tpu_600k_check.py: big_room(n_boxes=50000) = 600,036 tris,
+    6728 clusters — 1.6x past the round-4 fence — 1.43M-ray closest
+    sweeps, camera-coherent + incoherent."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fermat_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fermat_tpu.accel.cluster import build_clusters
+    from fermat_tpu.core.camera import Camera, generate_camera_rays
+    from fermat_tpu.core.math import Vec3, normalize
+    from fermat_tpu.ops.pallas_frontier_trace import trace_closest_frontier
+    from fermat_tpu.scene.procedural import big_room
+
+    room = big_room(n_boxes=50_000).device_view()
+    cl = build_clusters(room)
+    W, H = 1600, 896
+    n = W * H
+    cam = Camera.create(eye=(0.0, 3.0, 10.0), aim=(0.0, 1.5, 0.0))
+    tmin, tmax = jnp.float32(1e-4), jnp.float32(3e38)
+    half = jnp.full((n,), 0.5, jnp.float32)
+    oc, dc, _ = generate_camera_rays(cam, W, H, half, half)
+    r = np.random.default_rng(3)
+    o_np = (r.random((n, 3)).astype(np.float32) - 0.5) * 10.0
+    o_np[:, 1] += 2.0
+    d_np = r.standard_normal((n, 3)).astype(np.float32)
+    oi = Vec3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
+    di = normalize(Vec3(*(jnp.asarray(d_np[:, i]) for i in range(3))))
+
+    def t(fn):
+        jax.block_until_ready(fn())
+        best = 1e30
+        for _ in range(2):
+            t0 = time.time()
+            jax.block_until_ready(fn())
+            best = min(best, time.time() - t0)
+        return best
+
+    cc = t(lambda: trace_closest_frontier(cl, oc, dc, tmin, tmax).t)
+    ci = t(lambda: trace_closest_frontier(cl, oi, di, tmin, tmax).t)
+    return {
+        "bigscene600k_tris": int(room.n_triangles),
+        "bigscene600k_camera_mrays": round(n / cc / 1e6, 2),
+        "bigscene600k_incoh_mrays": round(n / ci / 1e6, 2),
+    }
+
+
 def attempt_integrator(which: str, budget_s: float) -> dict | None:
     try:
         r = subprocess.run(
@@ -241,6 +293,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--train-textured":
         print(json.dumps(run_train_textured()), flush=True)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--bigscene":
+        print(json.dumps(run_bigscene()), flush=True)
         return
     # budget: stay under bench.py's 1500 s subprocess timeout with margin,
     # and print the partial JSON line after EVERY completed stage so a
@@ -295,6 +350,25 @@ def main() -> None:
                   flush=True)
     else:
         print("train-textured skipped: budget exhausted", file=sys.stderr,
+              flush=True)
+    # 600k-triangle scene past the old round-4 fence (VERDICT r4 #2)
+    remaining = deadline - time.time()
+    if remaining > 240.0:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--bigscene"],
+                capture_output=True, text=True, timeout=remaining,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                out.update(json.loads(r.stdout.strip().splitlines()[-1]))
+                print(json.dumps(out), flush=True)
+            else:
+                print(f"bigscene rc={r.returncode}",
+                      file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"bigscene failed: {e}", file=sys.stderr, flush=True)
+    else:
+        print("bigscene skipped: budget exhausted", file=sys.stderr,
               flush=True)
     print(json.dumps(out), flush=True)
 

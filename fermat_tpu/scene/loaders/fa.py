@@ -83,9 +83,14 @@ def load_mesh_any(path: str) -> MeshStorage:
         from fermat_tpu.scene.loaders.misc import load_off, load_stl
 
         return load_stl(path) if ext == ".stl" else load_off(path)
+    if ext in (".gltf", ".glb"):
+        from fermat_tpu.scene.loaders.gltf import load_gltf
+
+        return load_gltf(path)
     raise ValueError(
         f"unsupported mesh format: {path} (supported: obj, ply, fa, pbrt, "
-        "stl, off — the reference's assimp fallback is not available here)"
+        "gltf, glb, stl, off — the reference's assimp fallback is not "
+        "available here)"
     )
 
 

@@ -87,9 +87,13 @@ def load_mesh_any(path: str) -> MeshStorage:
         from fermat_tpu.scene.loaders.gltf import load_gltf
 
         return load_gltf(path)
+    if ext == ".dae":
+        from fermat_tpu.scene.loaders.dae import load_dae
+
+        return load_dae(path)
     raise ValueError(
         f"unsupported mesh format: {path} (supported: obj, ply, fa, pbrt, "
-        "gltf, glb, stl, off — the reference's assimp fallback is not "
+        "gltf, glb, dae, stl, off — the reference's assimp fallback is not "
         "available here)"
     )
 
